@@ -1,0 +1,129 @@
+"""Simulation configuration.
+
+The fixed-h reference generation hardcodes its parameters as compile-time
+constants (/root/reference/SUMMER_SPH.f90:7-11) and the variable-h generation
+reads a 9-field single-line `parameters.txt`
+("SUMMER_SPH - Variable.f90":54-64, 854-919):
+
+    bounding_size max_depth theta gamma eta convergence_criteria
+    max_length timestep_scale end_time
+
+`SimConfig` is the engine-native superset: those nine fields plus the knobs
+the reference hardcodes elsewhere (alpha-switch constants SUMMER_SPH.f90:317,
+viscosity beta=2*alpha SUMMER_SPH.f90:378, dt hysteresis bounds
+SUMMER_SPH.f90:855-859, sink radius SUMMER_SPH.f90:694, save cadence
+SUMMER_SPH.f90:868-874) and TPU-engine parameters (cell-grid sizing, gravity
+mode, dtype).  It is a frozen (hashable) dataclass so jitted functions can
+close over it as a static value.  `read_parameters_txt` /
+`write_parameters_txt` round-trip the reference file format.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    # --- the reference `parameters.txt` nine ("SUMMER_SPH - Variable.f90":54-64)
+    bounding_size: float = 1500.0       # SUMMER_SPH.f90:11
+    max_depth: int = 1000               # SUMMER_SPH.f90:8 (tree depth; unused by cell grid)
+    theta: float = 0.5                  # BH opening angle, SUMMER_SPH.f90:825
+    gamma: float = 1.4                  # adiabatic index, SUMMER_SPH.f90:465-466
+    eta: float = 1.2                    # h = eta (m/rho)^(1/3) target, V:529
+    convergence_criteria: float = 1.0e-3  # h-iteration relative tolerance, V:534
+    max_length: float = 100.0           # h upper bound during iteration, V:531
+    timestep_scale: float = 0.25        # dt safety factor, SUMMER_SPH.f90:851
+    end_time: float = 1000.0            # SUMMER_SPH.f90:873
+
+    # --- smoothing-length mode
+    # fixed_h set => fixed smoothing length everywhere (reference fixed-h
+    # generation, h=2.5, SUMMER_SPH.f90:11); None => variable grad-h SPH.
+    fixed_h: Optional[float] = 2.5
+
+    # --- artificial viscosity (Monaghan + Morris-Monaghan switch)
+    alpha_min: float = 0.1              # decay floor, SUMMER_SPH.f90:317
+    alpha_decay: float = 0.15           # decay rate coefficient, SUMMER_SPH.f90:317
+    beta_factor: float = 2.0            # Pi uses beta = beta_factor*alpha, SUMMER_SPH.f90:378
+    av_eps: float = 0.01                # mu denominator softening, SUMMER_SPH.f90:373
+
+    # --- timestep control (SUMMER_SPH.f90:831-860)
+    dt_init: float = 1.0e-2             # SUMMER_SPH.f90:875
+    dt_max: float = 0.1                 # grow cap, SUMMER_SPH.f90:855
+    dt_min: float = 1.0e-4              # shrink floor, SUMMER_SPH.f90:857
+    dt_grow: float = 1.5
+    dt_shrink: float = 0.5
+
+    # --- output cadence: n_saves evenly spaced checkpoints over end_time
+    n_saves: int = 1000                 # SUMMER_SPH.f90:868-874
+
+    # --- sinks
+    sink_radius: float = 3.5            # default accretion radius for ICs, SUMMER_SPH.f90:694
+    sink_capacity: int = 8              # fixed sink-slot count (creation fills slots)
+    sink_create_density: float = 0.5    # creation threshold m(eta/h)^3 > 0.5, V:560
+    sink_create_mass: float = 1.0e-11   # seed mass of a created sink, V:581
+
+    # --- gravity
+    # 'none'    : no self-gravity (Sod tube / ring configs)
+    # 'direct'  : chunked all-pairs softened gravity (exact)
+    # 'bh'      : cell-hierarchy Barnes-Hut monopole walk (theta criterion)
+    gravity: str = "none"
+    grav_chunk: int = 1024              # pairwise chunk size for 'direct'
+
+    # --- neighbour cell grid
+    cell_cap: int = 64                  # max particles per cell (static shape)
+    neighbor_mode: str = "grid"         # 'grid' | 'dense' (O(N^2), small N / tests)
+
+    # --- h-iteration (variable-h mode)
+    h_iter_max: int = 8                 # fixed Newton iteration count (masked convergence)
+
+    # --- numerics
+    dtype: str = "float32"              # 'float32' | 'float64'
+
+    def np_dtype(self):
+        import jax.numpy as jnp
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    def with_(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_PARAM_FIELDS = (
+    "bounding_size", "max_depth", "theta", "gamma", "eta",
+    "convergence_criteria", "max_length", "timestep_scale", "end_time",
+)
+
+
+def read_parameters_txt(path, base: Optional[SimConfig] = None) -> SimConfig:
+    """Read the reference `parameters.txt` (header line + one data line).
+
+    Format: "SUMMER_SPH - Variable.f90":854-919 — a skipped header, then one
+    whitespace-separated line of the nine fields in `_PARAM_FIELDS` order.
+    Reading a parameter file implies the variable-h code path, so `fixed_h`
+    is cleared unless `base` overrides it.
+    """
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    if len(lines) < 2:
+        raise ValueError(f"{path}: expected header + data line")
+    vals = lines[-1].split()
+    if len(vals) < 9:
+        raise ValueError(f"{path}: expected 9 fields, got {len(vals)}")
+    kw = {}
+    for name, raw in zip(_PARAM_FIELDS, vals):
+        kw[name] = int(raw) if name == "max_depth" else float(raw)
+    cfg = base if base is not None else SimConfig(fixed_h=None)
+    return cfg.with_(**kw)
+
+
+def write_parameters_txt(path, cfg: SimConfig) -> None:
+    """Write a reference-compatible `parameters.txt`."""
+    with open(path, "w") as f:
+        f.write(" ".join(_PARAM_FIELDS) + "\n")
+        f.write(" ".join(
+            str(int(getattr(cfg, n))) if n == "max_depth" else repr(float(getattr(cfg, n)))
+            for n in _PARAM_FIELDS) + "\n")
+
+
+__all__ = ["SimConfig", "read_parameters_txt", "write_parameters_txt"]

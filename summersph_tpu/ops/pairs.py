@@ -1,0 +1,159 @@
+"""Core SPH pair interactions (gather formulation).
+
+Physics mirrors the reference's pair loops but reformulated gather-only:
+each particle i accumulates its own sums over candidate neighbours j, every
+pair evaluated from both sides.  The reference instead does a half-pair
+update (j < i writes both i and j, SUMMER_SPH.f90:354,383-391) which *races*
+under OpenMP (both endpoints written from concurrent iterations with no
+atomics); the gather form is the natural dense/XLA formulation, deterministic
+and race-free by construction (SURVEY.md §2.3).
+
+All math is broadcast-shaped: i-fields are [..., 1], j-fields [..., C],
+pairwise terms [..., C]; the reductions sum over the last axis.  Every
+division is where-guarded so masked/self/degenerate pairs contribute exactly
+zero instead of NaN.
+
+Unified fixed/variable-h formulation: the fixed-h generation
+(SUMMER_SPH.f90:295-395) is the variable-h one
+("SUMMER_SPH - Variable.f90":324-432) with h_i = h_j = const and
+Omega = 1, so a single code path serves both; the engine simply sets
+omega = 1 when `cfg.fixed_h` is set.
+
+Reference formulas implemented (V = "SUMMER_SPH - Variable.f90"):
+  density      rho_i   = sum_j m_j W(r_ij, h_i)                 (V:485)
+  grad-h       draw_i  = sum_j m_j dW/dh(r_ij, h_i)             (V:487-488)
+               Omega_i = 1 + h_i/(3 rho_i) * draw_i             (V:455)
+  AV           mu   = hbar (v.r) / (r^2 + 0.01 hbar^2), v.r<0   (V:406)
+               Pi   = (-abar cbar mu + 2 abar mu^2) / rhobar    (V:412)
+  momentum     a_i  = -sum_j m_j [ P_i/(Om_i rho_i^2) gradWi
+                       + P_j/(Om_j rho_j^2) gradWj
+                       + Pi (gradWi+gradWj)/2 ]                 (V:415-419)
+  energy       du_i = sum_j m_j (v_ij . gradWbar)
+                       (P_i/(Om_i rho_i^2) + Pi/2)              (V:421-425)
+  alpha source araw_i = sum_j m_j (v_ij . gradWbar)             (V:427-428)
+where gradWi = n_ij dW(r, h_i), gradWj = n_ij dW(r, h_j), and
+gradWbar = (gradWi + gradWj)/2.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from .kernels import kernel_dwdh, kernel_w, kernel_w_dw
+
+
+def _safe_inv(x, cond):
+    """1/x where cond else 0 (no NaN from masked lanes)."""
+    return jnp.where(cond, 1.0 / jnp.where(cond, x, 1.0), 0.0)
+
+
+def density_sums(dx, h_i, m_j, mask):
+    """Density + grad-h raw sums for a block of particles.
+
+    dx:   [..., C, 3] = x_i - x_j  (self pair dx=0 allowed and *included*,
+          matching the reference where each particle's own tree leaf
+          contributes W(0), SUMMER_SPH.f90:443-455)
+    h_i:  [..., 1]  smoothing length of the receiving particle
+    m_j:  [..., C]  neighbour masses (0 for dead)
+    mask: [..., C]  candidate validity
+    returns (rho [...,], omega_raw [...])
+    """
+    r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+    w = kernel_w(r, h_i)
+    dwdh = kernel_dwdh(r, h_i)
+    m = jnp.where(mask, m_j, 0.0)
+    rho = jnp.sum(m * w, axis=-1)
+    omega_raw = jnp.sum(m * dwdh, axis=-1)
+    return rho, omega_raw
+
+
+def finalize_density(rho, omega_raw, h, alive):
+    """Apply the grad-h Omega correction and make dead lanes inert.
+
+    Omega_i = 1 + h_i/(3 rho_i) * sum_j m_j dW/dh  (V:455).  Dead particles
+    get rho = 1, Omega = 1 so no downstream division can produce NaN.
+    """
+    ok = alive & (rho > 0.0)
+    rho_safe = jnp.where(ok, rho, 1.0)
+    omega = 1.0 + (h / (3.0 * rho_safe)) * jnp.where(ok, omega_raw, 0.0)
+    # Guard against pathological Omega (isolated particles): clamp away from 0.
+    omega = jnp.where(jnp.abs(omega) > 1.0e-4, omega, 1.0)
+    return rho_safe, omega
+
+
+def force_sums(
+    dx, v_ij,
+    h_i, h_j,
+    p_i, p_j,
+    rho_i, rho_j,
+    om_i, om_j,
+    cs_i, cs_j,
+    al_i, al_j,
+    m_j, mask,
+    cfg: SimConfig,
+):
+    """Pressure + artificial-viscosity pair sums for a block of particles.
+
+    i-fields are [..., 1]; j-fields and `mask` are [..., C]; dx/v_ij are
+    [..., C, 3].  Self pairs (r == 0) are excluded by the r > 0 guard, as in
+    the reference's half-pair j<i loop (SUMMER_SPH.f90:354).
+    Returns (acc [..., 3], du [...], alpha_raw [...]).
+    """
+    r2 = jnp.sum(dx * dx, axis=-1)
+    r = jnp.sqrt(r2)
+    valid = mask & (r > 0.0)
+    inv_r = _safe_inv(r, valid)
+
+    # Gradients from both sides' kernels (grad-h symmetrisation, V:413-414).
+    _, dw_i = kernel_w_dw(r, h_i)
+    _, dw_j = kernel_w_dw(r, h_j)
+
+    # v.r (unnormalised, as in the reference: vdotr is taken before the
+    # separation is normalised, SUMMER_SPH.f90:359-363) with the Monaghan
+    # switch: only approaching pairs feel viscosity (SUMMER_SPH.f90:361).
+    vdotr = jnp.sum(v_ij * dx, axis=-1)
+    vdotr = jnp.minimum(vdotr, 0.0)
+
+    hbar = 0.5 * (h_i + h_j)
+    mu = hbar * vdotr / (r2 + cfg.av_eps * hbar * hbar)
+    cbar = 0.5 * (cs_i + cs_j)
+    abar = 0.5 * (al_i + al_j)
+    rhobar = 0.5 * (rho_i + rho_j)
+    visc = (-abar * cbar * mu + cfg.beta_factor * abar * mu * mu) * _safe_inv(
+        rhobar, valid & (rhobar > 0.0))
+
+    # P/(Omega rho^2) terms; rho of live particles is > 0, masked lanes
+    # guarded anyway.
+    pterm_i = p_i * _safe_inv(om_i * rho_i * rho_i, valid)
+    pterm_j = p_j * _safe_inv(om_j * rho_j * rho_j, valid)
+
+    m = jnp.where(valid, m_j, 0.0)
+
+    # Scalar part of the symmetric acceleration contribution along n_ij.
+    dwbar = 0.5 * (dw_i + dw_j)
+    scal = pterm_i * dw_i + pterm_j * dw_j + visc * dwbar
+    nr = dx * inv_r[..., None]
+    acc = -jnp.sum((m * scal)[..., None] * nr, axis=-2)
+
+    # v_ij . gradWbar, averaged over both kernels (V:411).
+    vdotn = jnp.sum(v_ij * nr, axis=-1)
+    vdotgradw = vdotn * dwbar
+
+    du = jnp.sum(m * vdotgradw * (pterm_i + 0.5 * visc), axis=-1)
+    alpha_raw = jnp.sum(m * vdotgradw, axis=-1)
+    return acc, du, alpha_raw
+
+
+def alpha_rate(alpha_raw, rho, alpha, cs, h, cfg: SimConfig):
+    """Morris-Monaghan switch: source on compression + decay to alpha_min.
+
+    dalpha_i = max(araw_i / rho_i, 0)
+               + alpha_decay (alpha_min - alpha_i) cs_i / h_i
+    (SUMMER_SPH.f90:315-318; V:344-347 uses per-particle h.)
+    """
+    src = jnp.maximum(alpha_raw / jnp.where(rho > 0.0, rho, 1.0), 0.0)
+    return src + cfg.alpha_decay * (cfg.alpha_min - alpha) * cs / h
+
+
+__all__ = ["density_sums", "finalize_density", "force_sums", "alpha_rate"]

@@ -1,0 +1,147 @@
+"""Sink-particle lifecycle: accretion, creation, bounds culling.
+
+All three are masked array ops over fixed-capacity state — the TPU-native
+equivalent of the reference's mask + Fortran `pack` compaction
+(SUMMER_SPH.f90:471-556, "SUMMER_SPH - Variable.f90":549-688).
+
+Deliberate corrections of reference quirks (SURVEY.md §7 "reference quirks"):
+* a gas particle inside two sinks' accretion radii is assigned to the
+  *nearest* sink only — the reference computes per-sink masks independently
+  and double-counts the mass (SUMMER_SPH.f90:494-514);
+* the fixed-h generation's sink-distance formula `sum(sqrt(x^2 - s^2))`
+  (SUMMER_SPH.f90:537) is wrong; we use the Euclidean distance the variable
+  generation fixed it to ("SUMMER_SPH - Variable.f90":669);
+* sink creation scans *all* candidates instead of aborting when the first
+  over-dense particle sits near an existing sink ("SUMMER_SPH - Variable.f90"
+  :564-566 returns from inside the loop);
+* accreted angular momentum is tracked in `spin` — the reference leaves this
+  as an acknowledged TODO (SUMMER_SPH.f90:509).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import PARK_POSITION, Particles, Sinks
+
+
+def accrete(p: Particles, s: Sinks) -> Tuple[Particles, Sinks]:
+    """Sinks absorb gas within their accretion radius.
+
+    Mass, momentum and angular momentum conserving: the sink moves to the
+    combined centre of mass, takes the combined momentum
+    (SUMMER_SPH.f90:484-515), and accumulates the accreted gas's angular
+    momentum about the (old) sink position into `spin`.  Each gas particle is
+    claimed by its nearest eligible sink.  Accreted gas slots are masked dead
+    and parked.
+    """
+    S = s.capacity
+    dx = p.pos[:, None, :] - s.pos[None, :, :]          # [N, S, 3]
+    dist = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+    eligible = (p.alive[:, None] & s.alive[None, :]
+                & (s.mass[None, :] > 0.0) & (dist < s.radius[None, :]))
+
+    # Nearest eligible sink per particle; S means "none".
+    dist_masked = jnp.where(eligible, dist, jnp.inf)
+    nearest = jnp.argmin(dist_masked, axis=1)
+    accreted = jnp.any(eligible, axis=1)
+    assign = jnp.where(accreted, nearest, S).astype(jnp.int32)
+
+    m = jnp.where(accreted, p.mass, 0.0)
+    zeros = jnp.zeros((S,), p.mass.dtype)
+    msum = zeros.at[assign].add(m, mode="drop")
+    psum = jnp.zeros((S, 3), p.mass.dtype).at[assign].add(
+        m[:, None] * p.vel, mode="drop")
+    xsum = jnp.zeros((S, 3), p.mass.dtype).at[assign].add(
+        m[:, None] * p.pos, mode="drop")
+    # Angular momentum of accreted gas about the sink's pre-accretion frame.
+    rel_x = p.pos - s.pos[jnp.minimum(assign, S - 1)]
+    rel_v = p.vel - s.vel[jnp.minimum(assign, S - 1)]
+    lsum = jnp.zeros((S, 3), p.mass.dtype).at[assign].add(
+        m[:, None] * jnp.cross(rel_x, rel_v), mode="drop")
+
+    new_mass = s.mass + msum
+    grew = msum > 0.0
+    inv = jnp.where(grew, 1.0 / jnp.where(grew, new_mass, 1.0), 0.0)
+    new_pos = jnp.where(grew[:, None],
+                        (s.mass[:, None] * s.pos + xsum) * inv[:, None], s.pos)
+    new_vel = jnp.where(grew[:, None],
+                        (s.mass[:, None] * s.vel + psum) * inv[:, None], s.vel)
+
+    s = s.replace(mass=new_mass, pos=new_pos, vel=new_vel, spin=s.spin + lsum)
+    p = p.replace(
+        alive=p.alive & ~accreted,
+        mass=jnp.where(accreted, 0.0, p.mass),
+        pos=jnp.where(accreted[:, None], PARK_POSITION, p.pos),
+        vel=jnp.where(accreted[:, None], 0.0, p.vel),
+    )
+    return p, s
+
+
+def create_sinks(p: Particles, s: Sinks, cfg: SimConfig) -> Sinks:
+    """Spawn a sink at the densest eligible particle, if any.
+
+    Eligibility ("SUMMER_SPH - Variable.f90":549-597): the dimensionless
+    density m (eta/h)^3 exceeds `sink_create_density`, and the particle is
+    not within (radius_j + 2 h_i) of any live sink.  At most one sink is
+    created per call (as in the reference); the seed sink gets the particle's
+    position/velocity, accretion radius 2h, and a tiny seed mass — the gas
+    particle itself is left alive and is captured by the new sink on the next
+    accretion pass, exactly as in the reference.
+    """
+    code_density = p.mass * (cfg.eta / p.h) ** 3
+    dx = p.pos[:, None, :] - s.pos[None, :, :]
+    dist = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+    near_sink = jnp.any(
+        s.alive[None, :] & (dist < s.radius[None, :] + 2.0 * p.h[:, None]),
+        axis=1)
+    eligible = p.alive & (code_density > cfg.sink_create_density) & ~near_sink
+
+    has_any = jnp.any(eligible)
+    best = jnp.argmax(jnp.where(eligible, code_density, -jnp.inf))
+
+    free = ~s.alive
+    has_slot = jnp.any(free)
+    slot = jnp.argmax(free)
+
+    do = has_any & has_slot
+    write = jnp.zeros((s.capacity,), bool).at[slot].set(do)
+    pick = lambda a: a[best]
+    s = s.replace(
+        alive=s.alive | write,
+        pos=jnp.where(write[:, None], pick(p.pos), s.pos),
+        vel=jnp.where(write[:, None], pick(p.vel), s.vel),
+        acc=jnp.where(write[:, None], 0.0, s.acc),
+        spin=jnp.where(write[:, None], 0.0, s.spin),
+        mass=jnp.where(write, cfg.sink_create_mass, s.mass),
+        radius=jnp.where(write, 2.0 * pick(p.h), s.radius),
+    )
+    return s
+
+
+def cull_bounds(p: Particles, s: Sinks, cfg: SimConfig) -> Tuple[Particles, Sinks]:
+    """Mask out particles (and sinks, V:599-614) outside the bounding box."""
+    keep_p = p.alive & jnp.all(jnp.abs(p.pos) <= cfg.bounding_size, axis=-1)
+    gone_p = p.alive & ~keep_p
+    p = p.replace(
+        alive=keep_p,
+        mass=jnp.where(gone_p, 0.0, p.mass),
+        pos=jnp.where(gone_p[:, None], PARK_POSITION, p.pos),
+        vel=jnp.where(gone_p[:, None], 0.0, p.vel),
+    )
+    keep_s = s.alive & jnp.all(jnp.abs(s.pos) <= cfg.bounding_size, axis=-1)
+    gone_s = s.alive & ~keep_s
+    s = s.replace(
+        alive=keep_s,
+        mass=jnp.where(gone_s, 0.0, s.mass),
+        pos=jnp.where(gone_s[:, None], PARK_POSITION, s.pos),
+        vel=jnp.where(gone_s[:, None], 0.0, s.vel),
+    )
+    return p, s
+
+
+__all__ = ["accrete", "create_sinks", "cull_bounds"]

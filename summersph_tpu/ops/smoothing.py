@@ -1,0 +1,67 @@
+"""Variable smoothing length: vectorised Newton h-iteration.
+
+Solves h_i = eta (m_i / rho_i(h_i))^(1/3) per particle by the same Newton
+update as the reference ("SUMMER_SPH - Variable.f90":515-546):
+
+    h <- h * (1 + (m (eta/h)^3 / rho - 1) / (3 Omega))
+
+re-summing rho(h) and Omega(h) between iterations.  The reference loops a
+data-dependent number of times per particle under OpenMP; on TPU we run a
+`lax.while_loop` with a per-particle convergence mask and a fixed iteration
+cap (`cfg.h_iter_max`) — deterministic shapes, early exit when every particle
+has converged (SURVEY.md §7 "hard parts").
+
+h is clamped to [0.01, min(cfg.max_length, stencil reach)] — the lower/upper
+bounds mirror V:531; the stencil bound (half the neighbour-grid cell size)
+guarantees the fixed cell grid built at entry still covers every neighbour
+even as h grows during the iteration.  Matching the reference's ordering
+(V:1150-1152), this runs *after* the step's forces: the new h takes effect
+next step, and the final density/Omega from the last re-summation are kept.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import Particles
+from .density import compute_density
+from .neighbors import CellGrid, build_grid
+
+
+def update_smoothing(p: Particles, cfg: SimConfig) -> Particles:
+    # Build a grid with headroom so h can grow during the iteration and the
+    # 27-cell stencil still covers the enlarged support.
+    headroom = 1.25
+    p_pad = p.replace(h=p.h * headroom)
+    grid: CellGrid = build_grid(p_pad, cfg)
+    h_cap = jnp.minimum(cfg.max_length, grid.cell_size / 2.0)
+
+    def newton(h, rho, omega, m):
+        target = m * (cfg.eta / h) ** 3
+        return h * (1.0 + (target / rho - 1.0) / (3.0 * omega))
+
+    def cond(carry):
+        it, _, active = carry
+        return (it < cfg.h_iter_max) & jnp.any(active)
+
+    def body(carry):
+        it, q, active = carry
+        q = compute_density(q, cfg.with_(fixed_h=None), grid)
+        h_new = jnp.clip(newton(q.h, q.rho, q.omega, q.mass), 0.01, h_cap)
+        rel = jnp.abs(h_new - q.h) / q.h
+        h_next = jnp.where(active & q.alive, h_new, q.h)
+        still = active & q.alive & (rel > cfg.convergence_criteria)
+        return it + 1, q.replace(h=h_next), still
+
+    active0 = p.alive
+    _, p_out, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), p, active0))
+
+    # Final consistency: density/Omega at the accepted h.
+    p_out = compute_density(p_out, cfg.with_(fixed_h=None), grid)
+    return p_out
+
+
+__all__ = ["update_smoothing"]

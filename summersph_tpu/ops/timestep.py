@@ -1,0 +1,53 @@
+"""Adaptive global timestep with hysteresis (SUMMER_SPH.f90:831-860).
+
+Four per-particle candidates (each a timescale), reduced with a masked min
+over live particles and scaled by `timestep_scale`:
+
+    t_acc = sqrt(|v|^2 / |a|^2)       (velocity/acceleration)
+    t_u   = u / |du/dt|               (energy change)
+    t_h   = h / |v|                   (crossing time)
+    t_cfl = h / (c + 1.2 c)           (sound crossing / CFL)
+
+then hysteresis on the running dt: grow x1.5 when the candidate exceeds 2 dt
+(capped at dt_max), shrink x0.5 when below dt/2 (floored at dt_min)
+(SUMMER_SPH.f90:855-859).  Degenerate candidates (zero denominators on cold
+or static particles) are masked to +inf rather than propagating NaN — the
+reference relies on IEEE inf division giving the same effect.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import Particles
+
+
+def _safe_ratio(num, den):
+    ok = den > 0.0
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), jnp.inf)
+
+
+def next_timestep(p: Particles, dt, cfg: SimConfig):
+    v2 = jnp.sum(p.vel * p.vel, axis=-1)
+    a2 = jnp.sum(p.acc * p.acc, axis=-1)
+
+    t_acc = jnp.sqrt(_safe_ratio(v2, a2))
+    t_u = _safe_ratio(p.u, jnp.abs(p.du))
+    t_h = _safe_ratio(p.h, jnp.sqrt(v2))
+    t_cfl = _safe_ratio(p.h, 2.2 * p.cs)
+
+    cand = jnp.minimum(jnp.minimum(t_acc, t_u), jnp.minimum(t_h, t_cfl))
+    cand = jnp.where(p.alive, cand, jnp.inf)
+    dt_cand = jnp.min(cand) * cfg.timestep_scale
+
+    grown = jnp.where(
+        (dt_cand > 2.0 * dt) & (cfg.dt_grow * dt < cfg.dt_max),
+        cfg.dt_grow * dt, dt)
+    shrunk = jnp.where(
+        (dt_cand < cfg.dt_shrink * dt) & (dt * cfg.dt_shrink > cfg.dt_min),
+        cfg.dt_shrink * dt, grown)
+    return shrunk
+
+
+__all__ = ["next_timestep"]

@@ -1,0 +1,20 @@
+"""Test environment: CPU backend with 8 virtual devices.
+
+Must set env vars before jax is imported anywhere (task requirement: test
+multi-chip sharding on a virtual CPU mesh; the same code path runs on TPU).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+# Double precision for validation math (engine defaults to f32; tests that
+# pass float64 inputs get float64 compute on CPU).
+jax.config.update("jax_enable_x64", True)
