@@ -1,0 +1,61 @@
+"""Benchmark: particle-steps/sec on a Keplerian disc (BASELINE.md metric).
+
+Runs on whatever backend JAX picks (the driver runs this on the real TPU
+chip).  Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is value / 1e8 — the BASELINE.json north star (1e8
+particle-steps/sec on a 1e6-particle Keplerian disc on v5e-8; the reference
+publishes no numbers of its own, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 131072))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    gravity = os.environ.get("BENCH_GRAVITY", "none")
+
+    import jax
+    from summersph_tpu.config import SimConfig
+    from summersph_tpu.integrate import run_steps
+    from summersph_tpu.models.disc import disc_ic
+
+    # Keplerian disc around a central sink (graded config 3).  h chosen so
+    # the kernel support holds ~60 neighbours at this N within r<100 AU.
+    h0 = 100.0 * (60.0 / n) ** (1.0 / 3.0) / 2.0
+    cfg = SimConfig(
+        fixed_h=h0, gravity=gravity, neighbor_mode="grid",
+        gamma=1.4, bounding_size=1500.0, cell_cap=96,
+        dt_init=1e-4, dt_min=1e-5, dt_max=1e-3,
+    )
+    state, _ = disc_ic(n=n, r_max=100.0, m_star=5.0, h0=h0,
+                       rotation="keplerian", cfg=cfg, seed=0)
+
+    # Warm up (compile + 2 steps)
+    wu = run_steps(state, cfg, 2)
+    jax.block_until_ready(wu)
+
+    t0 = time.perf_counter()
+    out = run_steps(state, cfg, steps)
+    jax.block_until_ready(out)
+    dt_wall = time.perf_counter() - t0
+
+    alive = int(out.particles.n_alive)
+    value = alive * steps / dt_wall
+    print(json.dumps({
+        "metric": f"particle-steps/sec (Keplerian disc, N={n}, "
+                  f"gravity={gravity}, single chip)",
+        "value": value,
+        "unit": "particle-steps/sec",
+        "vs_baseline": value / 1e8,
+    }))
+
+
+if __name__ == "__main__":
+    main()

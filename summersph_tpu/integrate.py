@@ -45,25 +45,43 @@ from .ops.timestep import next_timestep
 from .state import Particles, SimState, Sinks
 
 
-def force_eval(p: Particles, s: Sinks, cfg: SimConfig):
+def _gather(tree, axis_name):
+    """all_gather a particle pytree along the device axis (tiled: the global
+    array, concatenated over shards)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.all_gather(a, axis_name, tiled=True), tree)
+
+
+def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
+               axis_name: str | None = None):
     """density -> EOS -> (gravity + sink gravity + SPH) accelerations.
 
     Matches the reference's find_forces grouping (SUMMER_SPH.f90:818-829).
     Returns (particles with rho/P/cs/acc/du/dalpha filled, sinks with acc).
+
+    Multi-chip (`axis_name` set, called inside shard_map): `p` is this
+    device's shard, `s` is replicated.  Neighbour columns are the
+    all-gathered global particle set — positions are small (1e6 particles =
+    12 MB f32), so replicated-columns + sharded-rows rides ICI once per pair
+    pass and scales compute by the device count (SURVEY.md §2.3).
     """
-    grid = build_grid(p, cfg) if cfg.neighbor_mode == "grid" else None
-    p = compute_density(p, cfg, grid)
+    cols0 = _gather(p, axis_name) if axis_name else None
+    grid = (build_grid(cols0 if cols0 is not None else p, cfg)
+            if cfg.neighbor_mode == "grid" else None)
+    p = compute_density(p, cfg, grid, cols=cols0)
     p = eos_update(p, cfg)
 
-    acc, du, dalpha = compute_sph_forces(p, cfg, grid)
+    # Columns need the freshly computed rho/P/cs/omega for the force pass.
+    cols = _gather(p, axis_name) if axis_name else None
+    acc, du, dalpha = compute_sph_forces(p, cfg, grid, cols=cols)
 
     if cfg.gravity == "direct":
-        acc = acc + gas_gravity_direct(p, cfg)
+        acc = acc + gas_gravity_direct(p, cfg, cols=cols)
     elif cfg.gravity == "bh":
         from .ops.bh_gravity import gas_gravity_bh
-        acc = acc + gas_gravity_bh(p, cfg)
+        acc = acc + gas_gravity_bh(p, cfg, cols=cols)
 
-    acc_gas_sink, acc_sink = sink_gravity(p, s)
+    acc_gas_sink, acc_sink = sink_gravity(p, s, axis_name=axis_name)
     acc = acc + acc_gas_sink
 
     p = p.replace(acc=acc, du=du, dalpha=dalpha)
@@ -93,24 +111,32 @@ def drift(p: Particles, s: Sinks, dt):
     return p, s
 
 
-def step(state: SimState, cfg: SimConfig) -> SimState:
-    """One full KDK step with all per-step physics. Jittable, shape-static."""
+def step(state: SimState, cfg: SimConfig,
+         axis_name: str | None = None) -> SimState:
+    """One full KDK step with all per-step physics. Jittable, shape-static.
+
+    With `axis_name` (inside shard_map) the same code runs data-parallel:
+    particle arrays are device shards, sinks/t/dt replicated; global
+    reductions (dt pmin, sink accretion psum, sink-creation argmax) go
+    through the named axis.
+    """
     p, s, dt = state.particles, state.sinks, state.dt
 
-    p, s = force_eval(p, s, cfg)
+    p, s = force_eval(p, s, cfg, axis_name)
     p, s = kick(p, s, dt)
     p, s = drift(p, s, dt)
-    p, s = force_eval(p, s, cfg)
+    p, s = force_eval(p, s, cfg, axis_name)
     p, s = kick(p, s, dt)
 
     t = state.t + dt
-    dt = next_timestep(p, dt, cfg)
+    dt = next_timestep(p, dt, cfg, axis_name=axis_name)
 
     if cfg.fixed_h is None:
-        p = update_smoothing(p, cfg)
-        s = create_sinks(p, s, cfg)
+        cols = _gather(p, axis_name) if axis_name else None
+        p = update_smoothing(p, cfg, cols=cols)
+        s = create_sinks(p, s, cfg, axis_name=axis_name)
 
-    p, s = accrete(p, s)
+    p, s = accrete(p, s, axis_name=axis_name)
     p, s = cull_bounds(p, s, cfg)
 
     return state.replace(particles=p, sinks=s, t=t, dt=dt)
@@ -132,6 +158,12 @@ def run_until(state: SimState, t_stop, cfg: SimConfig,
 
     out, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
     return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def run_steps(state: SimState, cfg: SimConfig, n_steps: int) -> SimState:
+    """Advance exactly n_steps on device (benchmarks / fixed-work segments)."""
+    return jax.lax.fori_loop(0, n_steps, lambda _, st: step(st, cfg), state)
 
 
 def simulate(
@@ -168,4 +200,5 @@ def simulate(
     return state
 
 
-__all__ = ["force_eval", "kick", "drift", "step", "run_until", "simulate"]
+__all__ = ["force_eval", "kick", "drift", "step", "run_until", "run_steps",
+           "simulate"]

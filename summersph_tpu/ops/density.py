@@ -11,6 +11,15 @@ Two execution paths share the pair math in `ops.pairs`:
 * `grid`   — hashed cell grid (ops.neighbors): each row block gathers the 27
   stencil cells' candidates and accumulates masked partial sums, one stencil
   offset at a time (so nothing of size [B, 27*cell_cap] is materialised).
+
+Row/column split: `rows` are the particles receiving sums, `cols` the
+candidate neighbour pool (defaults to rows).  The multi-chip data-parallel
+step passes rows = this device's shard, cols = the all-gathered global set
+(parallel.sharded); single-chip callers never notice.
+
+Layout: column fields are pre-split into per-component [N] arrays so every
+pairwise tensor is [rows, candidates] with a lane-aligned minor dim (see
+ops.pairs docstring).
 """
 
 from __future__ import annotations
@@ -24,56 +33,68 @@ from ..config import SimConfig
 from ..state import Particles
 from ..utils.jax_utils import pick_block, row_blocks, unblock
 from . import pairs
-from .neighbors import STENCIL, CellGrid, candidate_cell_check, stencil_candidates
+from .neighbors import STENCIL, CellGrid, cell_coords_of, stencil_candidates
 
 
-def _dense_block(idx, p: Particles):
-    """Density sums for rows `idx` [B] against all columns."""
-    xi = p.pos[idx]                       # [B, 3]
-    hi = p.h[idx][:, None]                # [B, 1]
-    dx = xi[:, None, :] - p.pos[None, :, :]   # [B, N, 3]
-    mask = p.alive[None, :]
-    return pairs.density_sums(dx, hi, p.mass[None, :], mask)
+def _dense_block(idx, rows: Particles, cx, cy, cz, cm, calive):
+    """Density sums for row particles `idx` [B] against all columns."""
+    xi = rows.pos[idx]                    # [B, 3]
+    hi = rows.h[idx][:, None]             # [B, 1]
+    dxx = xi[:, 0:1] - cx[None, :]
+    dxy = xi[:, 1:2] - cy[None, :]
+    dxz = xi[:, 2:3] - cz[None, :]
+    return pairs.density_sums(dxx, dxy, dxz, hi, cm[None, :], calive[None, :])
 
 
-def _grid_block(idx, p: Particles, grid: CellGrid):
+def _grid_block(idx, rows: Particles, cx, cy, cz, cm, grid: CellGrid):
     """Density sums for rows `idx` [B] over the 27-cell stencil."""
-    xi = p.pos[idx]
-    hi = p.h[idx][:, None]
-    ci = grid.coords[idx]
-    rho = jnp.zeros(idx.shape, p.pos.dtype)
-    omega_raw = jnp.zeros(idx.shape, p.pos.dtype)
+    xi = rows.pos[idx]
+    hi = rows.h[idx][:, None]
+    ci = cell_coords_of(grid, xi)
+    rho = jnp.zeros(idx.shape, rows.pos.dtype)
+    omega_raw = jnp.zeros(idx.shape, rows.pos.dtype)
     for off in STENCIL:
-        j, valid, expected = stencil_candidates(grid, ci, off)
-        valid = candidate_cell_check(grid, j, valid, expected)
-        dx = xi[:, None, :] - p.pos[j]        # [B, cap, 3]
-        r, o = pairs.density_sums(dx, hi, p.mass[j], valid)
+        j, valid = stencil_candidates(grid, ci, off)
+        dxx = xi[:, 0:1] - cx[j]
+        dxy = xi[:, 1:2] - cy[j]
+        dxz = xi[:, 2:3] - cz[j]
+        r, o = pairs.density_sums(dxx, dxy, dxz, hi, cm[j], valid)
         rho = rho + r
         omega_raw = omega_raw + o
     return rho, omega_raw
 
 
-def compute_density(p: Particles, cfg: SimConfig,
-                    grid: CellGrid | None = None) -> Particles:
-    """Fill rho and Omega; dead lanes become inert (rho=1, Omega=1)."""
-    cap = p.capacity
-    if grid is None:
-        cols = cap
-        fn = partial(_dense_block, p=p)
-    else:
-        cols = grid.cell_cap * 4  # effective working set per offset
-        fn = partial(_grid_block, p=p, grid=grid)
+def compute_density(rows: Particles, cfg: SimConfig,
+                    grid: CellGrid | None = None,
+                    cols: Particles | None = None) -> Particles:
+    """Fill rho and Omega on `rows`; dead lanes become inert (rho=1, Omega=1).
 
-    block = pick_block(cap, cols)
+    `grid`, when given, must have been built over `cols` (or `rows` if cols
+    is None).
+    """
+    cols = cols if cols is not None else rows
+    cap = rows.capacity
+    cx, cy, cz = cols.pos[:, 0], cols.pos[:, 1], cols.pos[:, 2]
+    cm = jnp.where(cols.alive, cols.mass, 0.0)
+    if grid is None:
+        work = cols.capacity
+        fn = partial(_dense_block, rows=rows, cx=cx, cy=cy, cz=cz, cm=cm,
+                     calive=cols.alive)
+    else:
+        work = grid.cell_cap * 4  # effective working set per offset
+        fn = partial(_grid_block, rows=rows, cx=cx, cy=cy, cz=cz, cm=cm,
+                     grid=grid)
+
+    block = pick_block(cap, work)
     blocks = row_blocks(cap, block)
     rho_b, omega_b = jax.lax.map(fn, blocks)
     rho = unblock(rho_b, cap)
     omega_raw = unblock(omega_b, cap)
 
-    rho, omega = pairs.finalize_density(rho, omega_raw, p.h, p.alive)
+    rho, omega = pairs.finalize_density(rho, omega_raw, rows.h, rows.alive)
     if cfg.fixed_h is not None:
         omega = jnp.ones_like(omega)
-    return p.replace(rho=rho, omega=omega)
+    return rows.replace(rho=rho, omega=omega)
 
 
 __all__ = ["compute_density"]

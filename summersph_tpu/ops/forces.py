@@ -3,14 +3,15 @@
 Gather-formulated equivalents of the reference's `get_SPH` / `SPH_tree_search`
 half-pair loops (SUMMER_SPH.f90:295-395, grad-h version
 "SUMMER_SPH - Variable.f90":324-432).  Outputs: hydro acceleration, du/dt,
-and the Morris-Monaghan alpha rate.  Same dense/grid duality as
-`ops.density`; all pair math lives in `ops.pairs`.
+and the Morris-Monaghan alpha rate.  Same dense/grid duality, row/column
+split and component-wise layout as `ops.density`; all pair math lives in
+`ops.pairs`.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,73 +20,105 @@ from ..config import SimConfig
 from ..state import Particles
 from ..utils.jax_utils import pick_block, row_blocks, unblock
 from . import pairs
-from .neighbors import STENCIL, CellGrid, candidate_cell_check, stencil_candidates
+from .neighbors import STENCIL, CellGrid, cell_coords_of, stencil_candidates
 
 
-def _pair_block(idx, j, valid, p: Particles, cfg: SimConfig):
+class ColFields(NamedTuple):
+    """Column-side pair fields as separate [N] arrays (gather-friendly)."""
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    vx: jax.Array
+    vy: jax.Array
+    vz: jax.Array
+    h: jax.Array
+    p: jax.Array
+    rho: jax.Array
+    om: jax.Array
+    cs: jax.Array
+    al: jax.Array
+    m: jax.Array
+    alive: jax.Array
+
+    @classmethod
+    def of(cls, c: Particles) -> "ColFields":
+        return cls(
+            x=c.pos[:, 0], y=c.pos[:, 1], z=c.pos[:, 2],
+            vx=c.vel[:, 0], vy=c.vel[:, 1], vz=c.vel[:, 2],
+            h=c.h, p=c.pressure, rho=c.rho, om=c.omega, cs=c.cs,
+            al=c.alpha, m=jnp.where(c.alive, c.mass, 0.0), alive=c.alive,
+        )
+
+
+def _pair_block(idx, j, valid, rows: Particles, cf: ColFields,
+                cfg: SimConfig):
     """Force sums for row particles idx [B] against candidates j [B, C]."""
-    col = lambda a: a[j]                       # [B, C]
     row = lambda a: a[idx][:, None]            # [B, 1]
-    dx = p.pos[idx][:, None, :] - p.pos[j]     # [B, C, 3]
-    vij = p.vel[idx][:, None, :] - p.vel[j]
+    xi, yi, zi = (rows.pos[idx][:, k:k + 1] for k in range(3))
+    vxi, vyi, vzi = (rows.vel[idx][:, k:k + 1] for k in range(3))
     return pairs.force_sums(
-        dx, vij,
-        row(p.h), col(p.h),
-        row(p.pressure), col(p.pressure),
-        row(p.rho), col(p.rho),
-        row(p.omega), col(p.omega),
-        row(p.cs), col(p.cs),
-        row(p.alpha), col(p.alpha),
-        col(p.mass), valid, cfg,
+        xi - cf.x[j], yi - cf.y[j], zi - cf.z[j],
+        vxi - cf.vx[j], vyi - cf.vy[j], vzi - cf.vz[j],
+        row(rows.h), cf.h[j],
+        row(rows.pressure), cf.p[j],
+        row(rows.rho), cf.rho[j],
+        row(rows.omega), cf.om[j],
+        row(rows.cs), cf.cs[j],
+        row(rows.alpha), cf.al[j],
+        cf.m[j], valid, cfg,
     )
 
 
-def _dense_block(idx, p: Particles, cfg: SimConfig):
-    n = p.capacity
+def _dense_block(idx, rows: Particles, cf: ColFields, cfg: SimConfig):
+    n = cf.x.shape[0]
     j = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
                          (idx.shape[0], n))
-    valid = p.alive[None, :] & jnp.ones_like(j, bool)
-    return _pair_block(idx, j, valid, p, cfg)
+    valid = cf.alive[None, :] & jnp.ones_like(j, bool)
+    return _pair_block(idx, j, valid, rows, cf, cfg)
 
 
-def _grid_block(idx, p: Particles, grid: CellGrid, cfg: SimConfig):
-    ci = grid.coords[idx]
-    acc = jnp.zeros(idx.shape + (3,), p.pos.dtype)
-    du = jnp.zeros(idx.shape, p.pos.dtype)
-    araw = jnp.zeros(idx.shape, p.pos.dtype)
+def _grid_block(idx, rows: Particles, cf: ColFields, grid: CellGrid,
+                cfg: SimConfig):
+    ci = cell_coords_of(grid, rows.pos[idx])
+    z = jnp.zeros(idx.shape, rows.pos.dtype)
+    ax, ay, az, du, araw = z, z, z, z, z
     for off in STENCIL:
-        j, valid, expected = stencil_candidates(grid, ci, off)
-        valid = candidate_cell_check(grid, j, valid, expected)
-        a, d, r = _pair_block(idx, j, valid, p, cfg)
-        acc, du, araw = acc + a, du + d, araw + r
-    return acc, du, araw
+        j, valid = stencil_candidates(grid, ci, off)
+        dax, day, daz, ddu, dar = _pair_block(idx, j, valid, rows, cf, cfg)
+        ax, ay, az = ax + dax, ay + day, az + daz
+        du, araw = du + ddu, araw + dar
+    return ax, ay, az, du, araw
 
 
 def compute_sph_forces(
-    p: Particles, cfg: SimConfig, grid: CellGrid | None = None,
+    rows: Particles, cfg: SimConfig, grid: CellGrid | None = None,
+    cols: Particles | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Return (acc_hydro [N,3], du [N], dalpha [N]) for all particles.
+    """Return (acc_hydro [N,3], du [N], dalpha [N]) for the row particles.
 
     dalpha includes the decay/source cleanup applied after the pair loop in
     the reference (SUMMER_SPH.f90:315-318).
     """
-    cap = p.capacity
+    cols = cols if cols is not None else rows
+    cf = ColFields.of(cols)
+    cap = rows.capacity
     if grid is None:
-        cols = cap
-        fn = partial(_dense_block, p=p, cfg=cfg)
+        work = cols.capacity
+        fn = partial(_dense_block, rows=rows, cf=cf, cfg=cfg)
     else:
-        cols = grid.cell_cap * 4
-        fn = partial(_grid_block, p=p, grid=grid, cfg=cfg)
+        work = grid.cell_cap * 4
+        fn = partial(_grid_block, rows=rows, cf=cf, grid=grid, cfg=cfg)
 
-    block = pick_block(cap, cols)
+    block = pick_block(cap, work)
     blocks = row_blocks(cap, block)
-    acc_b, du_b, araw_b = jax.lax.map(fn, blocks)
-    acc = unblock(acc_b, cap)
+    ax_b, ay_b, az_b, du_b, araw_b = jax.lax.map(fn, blocks)
+    acc = jnp.stack([unblock(ax_b, cap), unblock(ay_b, cap),
+                     unblock(az_b, cap)], axis=-1)
     du = unblock(du_b, cap)
     araw = unblock(araw_b, cap)
 
-    dalpha = pairs.alpha_rate(araw, p.rho, p.alpha, p.cs, p.h, cfg)
-    alive = p.alive
+    dalpha = pairs.alpha_rate(araw, rows.rho, rows.alpha, rows.cs, rows.h, cfg)
+    alive = rows.alive
     return (
         jnp.where(alive[:, None], acc, 0.0),
         jnp.where(alive, du, 0.0),
@@ -93,4 +126,4 @@ def compute_sph_forces(
     )
 
 
-__all__ = ["compute_sph_forces"]
+__all__ = ["compute_sph_forces", "ColFields"]

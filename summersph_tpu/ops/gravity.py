@@ -34,34 +34,49 @@ from ..utils.jax_utils import pick_block, row_blocks, unblock
 from .kernels import grav_softening
 
 
-def _direct_block(idx, p: Particles):
-    xi = p.pos[idx]                            # [B, 3]
-    hi = p.h[idx][:, None]
-    dx = xi[:, None, :] - p.pos[None, :, :]    # [B, N, 3]
-    r2 = jnp.sum(dx * dx, axis=-1)
+def _direct_block(idx, rows: Particles, cx, cy, cz, cm):
+    xi = rows.pos[idx]                         # [B, 3]
+    hi = rows.h[idx][:, None]
+    dxx = xi[:, 0:1] - cx[None, :]             # [B, N]
+    dxy = xi[:, 1:2] - cy[None, :]
+    dxz = xi[:, 2:3] - cz[None, :]
+    r2 = dxx * dxx + dxy * dxy + dxz * dxz
     r = jnp.sqrt(r2)
-    valid = p.alive[None, :] & (r > 0.0)
+    valid = r > 0.0
     f = grav_softening(r, hi)
     inv_r3 = jnp.where(valid, 1.0 / jnp.where(valid, r2 * r, 1.0), 0.0)
-    m = jnp.where(valid, p.mass[None, :], 0.0)
-    return -G * jnp.sum((m * f * inv_r3)[..., None] * dx, axis=-2)
+    coef = -G * cm[None, :] * f * inv_r3
+    return jnp.stack([jnp.sum(coef * dxx, axis=-1),
+                      jnp.sum(coef * dxy, axis=-1),
+                      jnp.sum(coef * dxz, axis=-1)], axis=-1)
 
 
-def gas_gravity_direct(p: Particles, cfg: SimConfig) -> jax.Array:
+def gas_gravity_direct(rows: Particles, cfg: SimConfig,
+                       cols: Particles | None = None) -> jax.Array:
     """Exact softened all-pairs gas-gas gravity, chunked over row blocks."""
-    cap = p.capacity
-    block = pick_block(cap, cap)
+    cols = cols if cols is not None else rows
+    cap = rows.capacity
+    block = pick_block(cap, cols.capacity)
     blocks = row_blocks(cap, block)
-    acc_b = jax.lax.map(partial(_direct_block, p=p), blocks)
+    cm = jnp.where(cols.alive, cols.mass, 0.0)
+    acc_b = jax.lax.map(
+        partial(_direct_block, rows=rows, cx=cols.pos[:, 0],
+                cy=cols.pos[:, 1], cz=cols.pos[:, 2], cm=cm),
+        blocks)
     acc = unblock(acc_b, cap)
-    return jnp.where(p.alive[:, None], acc, 0.0)
+    return jnp.where(rows.alive[:, None], acc, 0.0)
 
 
-def sink_gravity(p: Particles, s: Sinks) -> Tuple[jax.Array, jax.Array]:
+def sink_gravity(p: Particles, s: Sinks,
+                 axis_name: str | None = None) -> Tuple[jax.Array, jax.Array]:
     """Direct gas<->sink and sink<->sink gravity (SUMMER_SPH.f90:559-591).
 
     Returns (acc_gas [N, 3], acc_sink [S, 3]).  Unsoftened 1/r^2 as in the
     reference; masked pairs and coincident points contribute zero.
+
+    Multi-chip: `p` may be a device-local shard while `s` is replicated —
+    pass `axis_name` to psum the gas->sink pull across devices (the
+    replicated sink<->sink part is not summed).
     """
     dx = p.pos[:, None, :] - s.pos[None, :, :]      # [N, S, 3]
     r2 = jnp.sum(dx * dx, axis=-1)
@@ -71,6 +86,8 @@ def sink_gravity(p: Particles, s: Sinks) -> Tuple[jax.Array, jax.Array]:
 
     acc_gas = -jnp.sum((w * s.mass[None, :])[..., None] * dx, axis=1)
     acc_sink = jnp.sum((w * p.mass[:, None])[..., None] * dx, axis=0)
+    if axis_name is not None:
+        acc_sink = jax.lax.psum(acc_sink, axis_name)
 
     # sink<->sink
     ds = s.pos[:, None, :] - s.pos[None, :, :]      # [S, S, 3]

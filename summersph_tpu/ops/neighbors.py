@@ -6,21 +6,26 @@ maps terribly onto XLA.  The engine instead uses the standard space-filling
 / spatial-hash cell grid (PAPERS.md: Gadget3 SFC neighbour search, GPU cell
 lists): bin particles into cubic cells of side = the largest kernel support
 (2 h_max), so every interacting pair lies within the 3x3x3 cell stencil of
-either endpoint.  All shapes are static:
+either endpoint.  All shapes are static.
 
-* cells are *hashed* into a fixed power-of-two table (Teschner-style spatial
-  hash), so the grid needs no bounded domain and no data-dependent cell
-  count;
-* each bucket holds at most `cell_cap` particle slots; the build counts
-  overflow (dropped slots) so callers can detect an undersized table —
-  correctness degrades loudly, not silently;
-* hash collisions merely add far-away candidates, which the pair kernels'
-  cutoff + exact-cell check discard: every candidate is verified to lie in
-  the exact integer cell being queried, so a collision can never double-count
-  or miss a pair.
+Design (TPU-tuned):
 
-Dead particles are excluded at build time (their park position never enters
-the table), so stencils contain live candidates only.
+* cells are addressed by a packed 30-bit linear key: integer coords in a
+  1024^3 window anchored at the live-particle minimum, clamped at the window
+  border.  Clamping is monotone, so it never separates truly-close pairs —
+  far outliers merge into border cells and are rejected by the kernels'
+  distance cutoff (only a perf cost, counted in `n_clamped`);
+* keys hash into a fixed power-of-two bucket table holding up to `cell_cap`
+  particle ids per bucket; build counts overflow (`n_dropped`) so an
+  undersized table degrades loudly, never silently;
+* candidate validity is a single int32 compare: gather the candidate's
+  stored key and match it against the queried cell's key.  This makes hash
+  collisions harmless (a collision's candidates fail the key match) at the
+  cost of one [rows, cap] integer gather — the layout-friendly replacement
+  for comparing three coordinate planes.
+
+Dead particles get the sentinel key (matches nothing) and are dropped from
+the table, so stencils contain live candidates only.
 """
 
 from __future__ import annotations
@@ -34,10 +39,9 @@ from flax import struct
 from ..config import SimConfig
 from ..state import Particles
 
-# Teschner et al. spatial-hash primes.
-_HX = jnp.int32(73856093)
-_HY = jnp.int32(19349663)
-_HZ = jnp.int32(83492791)
+WINDOW_BITS = 10
+WINDOW = 1 << WINDOW_BITS                      # 1024 cells per axis
+SENTINEL_KEY = jnp.int32(1 << 30)              # dead / invalid
 
 # 3x3x3 stencil offsets, a Python-level constant (unrolled in traced code).
 STENCIL = [(ox, oy, oz)
@@ -53,11 +57,12 @@ def next_pow2(n: int) -> int:
 
 @struct.dataclass
 class CellGrid:
-    table: jax.Array       # [num_buckets, cell_cap] int32 particle ids; == cap => empty
-    coords: jax.Array      # [N, 3] int32 cell coords per particle
+    table: jax.Array       # [num_buckets, cell_cap] int32 particle ids; == n => empty
+    key: jax.Array         # [N] int32 packed cell key per particle (sentinel if dead)
     origin: jax.Array      # [3] grid origin
     cell_size: jax.Array   # scalar
-    n_dropped: jax.Array   # scalar int32: live particles that overflowed their bucket
+    n_dropped: jax.Array   # live particles that overflowed their bucket
+    n_clamped: jax.Array   # live particles clamped to the window border
 
     @property
     def num_buckets(self) -> int:
@@ -67,17 +72,30 @@ class CellGrid:
     def cell_cap(self) -> int:
         return self.table.shape[1]
 
+    @property
+    def n(self) -> int:
+        return self.key.shape[0]
 
-def _hash_coords(cx, cy, cz, num_buckets: int):
-    h = (cx * _HX) ^ (cy * _HY) ^ (cz * _HZ)
-    return h & jnp.int32(num_buckets - 1)
+
+def cell_coords_of(grid: CellGrid, pos):
+    """Integer cell coords (clamped window) of arbitrary positions."""
+    return _coords(pos, grid.origin, grid.cell_size)
 
 
-def _cell_coords(pos, origin, cell_size):
-    # Clamp to a generous integer range so parked/outlier positions can't
-    # overflow int32; they land in a far corner cell nobody queries.
+def _coords(pos, origin, cell_size):
     c = jnp.floor((pos - origin) / cell_size)
-    return jnp.clip(c, -1.0e6, 1.0e6).astype(jnp.int32)
+    return jnp.clip(c, 0.0, WINDOW - 1).astype(jnp.int32)
+
+
+def pack_key(cx, cy, cz):
+    return (cx << (2 * WINDOW_BITS)) | (cy << WINDOW_BITS) | cz
+
+
+def _hash_key(key, num_buckets: int):
+    """Multiplicative (Knuth) hash of the packed key -> bucket id."""
+    h = key.astype(jnp.uint32) * jnp.uint32(2654435761)
+    shift = 32 - (num_buckets.bit_length() - 1)
+    return (h >> shift).astype(jnp.int32) & jnp.int32(num_buckets - 1)
 
 
 def build_grid(p: Particles, cfg: SimConfig, num_buckets: int | None = None) -> CellGrid:
@@ -98,8 +116,14 @@ def build_grid(p: Particles, cfg: SimConfig, num_buckets: int | None = None) -> 
     h_max = jnp.max(jnp.where(p.alive, p.h, 0.0))
     cell_size = jnp.maximum(2.0 * h_max, 1.0e-12)
 
-    coords = _cell_coords(p.pos, origin, cell_size)
-    bucket = _hash_coords(coords[:, 0], coords[:, 1], coords[:, 2], nb)
+    coords = _coords(p.pos, origin, cell_size)
+    key = jnp.where(p.alive,
+                    pack_key(coords[:, 0], coords[:, 1], coords[:, 2]),
+                    SENTINEL_KEY)
+    raw = (p.pos - origin) / cell_size
+    n_clamped = jnp.sum(p.alive & jnp.any(raw >= WINDOW, axis=-1)).astype(jnp.int32)
+
+    bucket = _hash_key(key, nb)
 
     # Rank of each particle within its bucket: sort by bucket, then
     # rank = position_in_sorted - first_position_of_bucket.
@@ -111,7 +135,6 @@ def build_grid(p: Particles, cfg: SimConfig, num_buckets: int | None = None) -> 
 
     cell_cap = cfg.cell_cap
     keep = alive_sorted & (rank_sorted < cell_cap)
-    # Scatter into the flat table; out-of-range targets are dropped.
     flat_idx = jnp.where(
         keep,
         bucket_sorted * cell_cap + jnp.minimum(rank_sorted, cell_cap - 1),
@@ -123,42 +146,39 @@ def build_grid(p: Particles, cfg: SimConfig, num_buckets: int | None = None) -> 
 
     return CellGrid(
         table=table.reshape(nb, cell_cap),
-        coords=coords,
+        key=key,
         origin=origin,
         cell_size=cell_size,
         n_dropped=n_dropped,
+        n_clamped=n_clamped,
     )
 
 
 def stencil_candidates(
     grid: CellGrid, coords_block: jax.Array, offset: Tuple[int, int, int],
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array]:
     """Candidate particle ids for one stencil offset.
 
     coords_block: [B, 3] int32 cell coords of the querying particles.
     Returns (idx [B, cell_cap] clipped for safe gathering,
-             valid [B, cell_cap] slot-occupied mask,
-             expected [B, 3] the exact cell coords being queried — callers
-             must verify candidates truly belong to this cell to make hash
-             collisions harmless).
+             valid [B, cell_cap]): valid requires the candidate's stored key
+    to equal the queried cell's key, so hash collisions can neither
+    double-count nor alias.
     """
     off = jnp.asarray(offset, jnp.int32)
-    expected = coords_block + off
-    b = _hash_coords(expected[:, 0], expected[:, 1], expected[:, 2],
-                     grid.num_buckets)
-    idx = grid.table[b]                      # [B, cell_cap]
-    valid = idx < grid.coords.shape[0]
-    return jnp.minimum(idx, grid.coords.shape[0] - 1), valid, expected
-
-
-def candidate_cell_check(grid: CellGrid, idx, valid, expected):
-    """valid AND candidate's true cell == expected (collision dedupe)."""
-    cand_coords = grid.coords[idx]            # [B, cell_cap, 3]
-    same = jnp.all(cand_coords == expected[:, None, :], axis=-1)
-    return valid & same
+    e = coords_block + off
+    in_window = jnp.all((e >= 0) & (e < WINDOW), axis=-1)
+    ekey = jnp.where(in_window, pack_key(e[:, 0], e[:, 1], e[:, 2]),
+                     jnp.int32(-1))
+    b = _hash_key(ekey, grid.num_buckets)
+    idx = grid.table[b]                        # [B, cell_cap]
+    n = grid.n
+    idx_c = jnp.minimum(idx, n - 1)
+    valid = (idx < n) & (grid.key[idx_c] == ekey[:, None])
+    return idx_c, valid
 
 
 __all__ = [
-    "CellGrid", "build_grid", "stencil_candidates", "candidate_cell_check",
-    "STENCIL", "next_pow2",
+    "CellGrid", "build_grid", "stencil_candidates", "cell_coords_of",
+    "pack_key", "STENCIL", "next_pow2", "WINDOW", "WINDOW_BITS",
 ]

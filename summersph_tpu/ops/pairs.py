@@ -1,4 +1,4 @@
-"""Core SPH pair interactions (gather formulation).
+"""Core SPH pair interactions (gather formulation, component-wise layout).
 
 Physics mirrors the reference's pair loops but reformulated gather-only:
 each particle i accumulates its own sums over candidate neighbours j, every
@@ -8,10 +8,13 @@ under OpenMP (both endpoints written from concurrent iterations with no
 atomics); the gather form is the natural dense/XLA formulation, deterministic
 and race-free by construction (SURVEY.md §2.3).
 
-All math is broadcast-shaped: i-fields are [..., 1], j-fields [..., C],
-pairwise terms [..., C]; the reductions sum over the last axis.  Every
-division is where-guarded so masked/self/degenerate pairs contribute exactly
-zero instead of NaN.
+TPU layout note: all pairwise tensors are 2-D [rows, candidates] with the
+candidate axis as the (128-lane) minor dimension.  Vector quantities are
+carried as separate x/y/z component arrays — a trailing length-3 axis would
+occupy 3 of 128 lanes and waste ~98% of the VPU (measured 10x+ end-to-end).
+
+Every division is where-guarded so masked/self/degenerate pairs contribute
+exactly zero instead of NaN.
 
 Unified fixed/variable-h formulation: the fixed-h generation
 (SUMMER_SPH.f90:295-395) is the variable-h one
@@ -32,7 +35,8 @@ Reference formulas implemented (V = "SUMMER_SPH - Variable.f90"):
                        (P_i/(Om_i rho_i^2) + Pi/2)              (V:421-425)
   alpha source araw_i = sum_j m_j (v_ij . gradWbar)             (V:427-428)
 where gradWi = n_ij dW(r, h_i), gradWj = n_ij dW(r, h_j), and
-gradWbar = (gradWi + gradWj)/2.
+gradWbar = (gradWi + gradWj)/2; v.r is the unnormalised v_ij . r_ij
+(taken before the separation is normalised, SUMMER_SPH.f90:359-363).
 """
 
 from __future__ import annotations
@@ -48,18 +52,16 @@ def _safe_inv(x, cond):
     return jnp.where(cond, 1.0 / jnp.where(cond, x, 1.0), 0.0)
 
 
-def density_sums(dx, h_i, m_j, mask):
-    """Density + grad-h raw sums for a block of particles.
+def density_sums(dxx, dxy, dxz, h_i, m_j, mask):
+    """Density + grad-h raw sums.
 
-    dx:   [..., C, 3] = x_i - x_j  (self pair dx=0 allowed and *included*,
-          matching the reference where each particle's own tree leaf
-          contributes W(0), SUMMER_SPH.f90:443-455)
-    h_i:  [..., 1]  smoothing length of the receiving particle
-    m_j:  [..., C]  neighbour masses (0 for dead)
-    mask: [..., C]  candidate validity
-    returns (rho [...,], omega_raw [...])
+    dxx/dxy/dxz: [..., C] components of x_i - x_j (self pair allowed and
+    *included*, matching the reference where each particle's own tree leaf
+    contributes W(0), SUMMER_SPH.f90:443-455).
+    h_i: [..., 1]; m_j, mask: [..., C].
+    Returns (rho [...], omega_raw [...]).
     """
-    r = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+    r = jnp.sqrt(dxx * dxx + dxy * dxy + dxz * dxz)
     w = kernel_w(r, h_i)
     dwdh = kernel_dwdh(r, h_i)
     m = jnp.where(mask, m_j, 0.0)
@@ -83,7 +85,8 @@ def finalize_density(rho, omega_raw, h, alive):
 
 
 def force_sums(
-    dx, v_ij,
+    dxx, dxy, dxz,
+    vx, vy, vz,
     h_i, h_j,
     p_i, p_j,
     rho_i, rho_j,
@@ -93,14 +96,15 @@ def force_sums(
     m_j, mask,
     cfg: SimConfig,
 ):
-    """Pressure + artificial-viscosity pair sums for a block of particles.
+    """Pressure + artificial-viscosity pair sums.
 
-    i-fields are [..., 1]; j-fields and `mask` are [..., C]; dx/v_ij are
-    [..., C, 3].  Self pairs (r == 0) are excluded by the r > 0 guard, as in
-    the reference's half-pair j<i loop (SUMMER_SPH.f90:354).
-    Returns (acc [..., 3], du [...], alpha_raw [...]).
+    i-fields are [..., 1]; j-fields and `mask` are [..., C]; dx*/v* are the
+    [..., C] components of x_i - x_j and v_i - v_j.  Self pairs (r == 0) are
+    excluded by the r > 0 guard, as in the reference's half-pair j<i loop
+    (SUMMER_SPH.f90:354).
+    Returns (ax, ay, az, du, alpha_raw), each [...].
     """
-    r2 = jnp.sum(dx * dx, axis=-1)
+    r2 = dxx * dxx + dxy * dxy + dxz * dxz
     r = jnp.sqrt(r2)
     valid = mask & (r > 0.0)
     inv_r = _safe_inv(r, valid)
@@ -108,15 +112,15 @@ def force_sums(
     # Gradients from both sides' kernels (grad-h symmetrisation, V:413-414).
     _, dw_i = kernel_w_dw(r, h_i)
     _, dw_j = kernel_w_dw(r, h_j)
+    dwbar = 0.5 * (dw_i + dw_j)
 
-    # v.r (unnormalised, as in the reference: vdotr is taken before the
-    # separation is normalised, SUMMER_SPH.f90:359-363) with the Monaghan
-    # switch: only approaching pairs feel viscosity (SUMMER_SPH.f90:361).
-    vdotr = jnp.sum(v_ij * dx, axis=-1)
-    vdotr = jnp.minimum(vdotr, 0.0)
+    # Unnormalised v.r with the Monaghan switch: only approaching pairs feel
+    # viscosity (SUMMER_SPH.f90:359-363).
+    vdotr = vx * dxx + vy * dxy + vz * dxz
+    vdotr_neg = jnp.minimum(vdotr, 0.0)
 
     hbar = 0.5 * (h_i + h_j)
-    mu = hbar * vdotr / (r2 + cfg.av_eps * hbar * hbar)
+    mu = hbar * vdotr_neg / (r2 + cfg.av_eps * hbar * hbar)
     cbar = 0.5 * (cs_i + cs_j)
     abar = 0.5 * (al_i + al_j)
     rhobar = 0.5 * (rho_i + rho_j)
@@ -130,19 +134,19 @@ def force_sums(
 
     m = jnp.where(valid, m_j, 0.0)
 
-    # Scalar part of the symmetric acceleration contribution along n_ij.
-    dwbar = 0.5 * (dw_i + dw_j)
+    # Scalar pair coefficient: contributions along n_ij = dx/r.
     scal = pterm_i * dw_i + pterm_j * dw_j + visc * dwbar
-    nr = dx * inv_r[..., None]
-    acc = -jnp.sum((m * scal)[..., None] * nr, axis=-2)
+    coef = -m * scal * inv_r
+    ax = jnp.sum(coef * dxx, axis=-1)
+    ay = jnp.sum(coef * dxy, axis=-1)
+    az = jnp.sum(coef * dxz, axis=-1)
 
     # v_ij . gradWbar, averaged over both kernels (V:411).
-    vdotn = jnp.sum(v_ij * nr, axis=-1)
-    vdotgradw = vdotn * dwbar
+    vdotgradw = vdotr * inv_r * dwbar
 
     du = jnp.sum(m * vdotgradw * (pterm_i + 0.5 * visc), axis=-1)
     alpha_raw = jnp.sum(m * vdotgradw, axis=-1)
-    return acc, du, alpha_raw
+    return ax, ay, az, du, alpha_raw
 
 
 def alpha_rate(alpha_raw, rho, alpha, cs, h, cfg: SimConfig):

@@ -29,7 +29,8 @@ from ..config import SimConfig
 from ..state import PARK_POSITION, Particles, Sinks
 
 
-def accrete(p: Particles, s: Sinks) -> Tuple[Particles, Sinks]:
+def accrete(p: Particles, s: Sinks,
+            axis_name: str | None = None) -> Tuple[Particles, Sinks]:
     """Sinks absorb gas within their accretion radius.
 
     Mass, momentum and angular momentum conserving: the sink moves to the
@@ -38,6 +39,9 @@ def accrete(p: Particles, s: Sinks) -> Tuple[Particles, Sinks]:
     momentum about the (old) sink position into `spin`.  Each gas particle is
     claimed by its nearest eligible sink.  Accreted gas slots are masked dead
     and parked.
+
+    Multi-chip: `p` may be a device-local shard with `s` replicated — pass
+    `axis_name` to psum the per-sink accretion sums across devices.
     """
     S = s.capacity
     dx = p.pos[:, None, :] - s.pos[None, :, :]          # [N, S, 3]
@@ -64,6 +68,10 @@ def accrete(p: Particles, s: Sinks) -> Tuple[Particles, Sinks]:
     lsum = jnp.zeros((S, 3), p.mass.dtype).at[assign].add(
         m[:, None] * jnp.cross(rel_x, rel_v), mode="drop")
 
+    if axis_name is not None:
+        msum, psum, xsum, lsum = jax.lax.psum(
+            (msum, psum, xsum, lsum), axis_name)
+
     new_mass = s.mass + msum
     grew = msum > 0.0
     inv = jnp.where(grew, 1.0 / jnp.where(grew, new_mass, 1.0), 0.0)
@@ -82,7 +90,8 @@ def accrete(p: Particles, s: Sinks) -> Tuple[Particles, Sinks]:
     return p, s
 
 
-def create_sinks(p: Particles, s: Sinks, cfg: SimConfig) -> Sinks:
+def create_sinks(p: Particles, s: Sinks, cfg: SimConfig,
+                 axis_name: str | None = None) -> Sinks:
     """Spawn a sink at the densest eligible particle, if any.
 
     Eligibility ("SUMMER_SPH - Variable.f90":549-597): the dimensionless
@@ -104,21 +113,34 @@ def create_sinks(p: Particles, s: Sinks, cfg: SimConfig) -> Sinks:
     has_any = jnp.any(eligible)
     best = jnp.argmax(jnp.where(eligible, code_density, -jnp.inf))
 
+    # Candidate fields of the local best (garbage when !has_any, gated below).
+    best_val = jnp.where(has_any, code_density[best], -jnp.inf)
+    cand_pos, cand_vel, cand_h = p.pos[best], p.vel[best], p.h[best]
+    if axis_name is not None:
+        # Pick the globally densest candidate: gather every device's local
+        # best and select identically on all of them (s is replicated).
+        vals = jax.lax.all_gather(best_val, axis_name)       # [D]
+        poss = jax.lax.all_gather(cand_pos, axis_name)       # [D, 3]
+        vels = jax.lax.all_gather(cand_vel, axis_name)
+        hs = jax.lax.all_gather(cand_h, axis_name)
+        widx = jnp.argmax(vals)
+        has_any = jnp.isfinite(vals[widx]) & (vals[widx] > -jnp.inf)
+        cand_pos, cand_vel, cand_h = poss[widx], vels[widx], hs[widx]
+
     free = ~s.alive
     has_slot = jnp.any(free)
     slot = jnp.argmax(free)
 
     do = has_any & has_slot
     write = jnp.zeros((s.capacity,), bool).at[slot].set(do)
-    pick = lambda a: a[best]
     s = s.replace(
         alive=s.alive | write,
-        pos=jnp.where(write[:, None], pick(p.pos), s.pos),
-        vel=jnp.where(write[:, None], pick(p.vel), s.vel),
+        pos=jnp.where(write[:, None], cand_pos, s.pos),
+        vel=jnp.where(write[:, None], cand_vel, s.vel),
         acc=jnp.where(write[:, None], 0.0, s.acc),
         spin=jnp.where(write[:, None], 0.0, s.spin),
         mass=jnp.where(write, cfg.sink_create_mass, s.mass),
-        radius=jnp.where(write, 2.0 * pick(p.h), s.radius),
+        radius=jnp.where(write, 2.0 * cand_h, s.radius),
     )
     return s
 

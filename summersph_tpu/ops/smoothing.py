@@ -30,12 +30,15 @@ from .density import compute_density
 from .neighbors import CellGrid, build_grid
 
 
-def update_smoothing(p: Particles, cfg: SimConfig) -> Particles:
+def update_smoothing(p: Particles, cfg: SimConfig,
+                     cols: Particles | None = None) -> Particles:
+    """Newton-iterate h on `p`; `cols` is the neighbour pool (multi-chip:
+    rows = local shard, cols = all-gathered global set)."""
+    cols = cols if cols is not None else p
     # Build a grid with headroom so h can grow during the iteration and the
     # 27-cell stencil still covers the enlarged support.
     headroom = 1.25
-    p_pad = p.replace(h=p.h * headroom)
-    grid: CellGrid = build_grid(p_pad, cfg)
+    grid: CellGrid = build_grid(cols.replace(h=cols.h * headroom), cfg)
     h_cap = jnp.minimum(cfg.max_length, grid.cell_size / 2.0)
 
     def newton(h, rho, omega, m):
@@ -48,7 +51,7 @@ def update_smoothing(p: Particles, cfg: SimConfig) -> Particles:
 
     def body(carry):
         it, q, active = carry
-        q = compute_density(q, cfg.with_(fixed_h=None), grid)
+        q = compute_density(q, cfg.with_(fixed_h=None), grid, cols=cols)
         h_new = jnp.clip(newton(q.h, q.rho, q.omega, q.mass), 0.01, h_cap)
         rel = jnp.abs(h_new - q.h) / q.h
         h_next = jnp.where(active & q.alive, h_new, q.h)
@@ -60,7 +63,7 @@ def update_smoothing(p: Particles, cfg: SimConfig) -> Particles:
         cond, body, (jnp.asarray(0, jnp.int32), p, active0))
 
     # Final consistency: density/Omega at the accepted h.
-    p_out = compute_density(p_out, cfg.with_(fixed_h=None), grid)
+    p_out = compute_density(p_out, cfg.with_(fixed_h=None), grid, cols=cols)
     return p_out
 
 

@@ -17,6 +17,7 @@ reference relies on IEEE inf division giving the same effect.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
@@ -28,7 +29,8 @@ def _safe_ratio(num, den):
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), jnp.inf)
 
 
-def next_timestep(p: Particles, dt, cfg: SimConfig):
+def next_timestep(p: Particles, dt, cfg: SimConfig,
+                  axis_name: str | None = None):
     v2 = jnp.sum(p.vel * p.vel, axis=-1)
     a2 = jnp.sum(p.acc * p.acc, axis=-1)
 
@@ -39,7 +41,12 @@ def next_timestep(p: Particles, dt, cfg: SimConfig):
 
     cand = jnp.minimum(jnp.minimum(t_acc, t_u), jnp.minimum(t_h, t_cfl))
     cand = jnp.where(p.alive, cand, jnp.inf)
-    dt_cand = jnp.min(cand) * cfg.timestep_scale
+    cand_min = jnp.min(cand)
+    if axis_name is not None:
+        # Global timestep across device shards (SURVEY.md §5: psum/pmin for
+        # global reductions like dt).
+        cand_min = jax.lax.pmin(cand_min, axis_name)
+    dt_cand = cand_min * cfg.timestep_scale
 
     grown = jnp.where(
         (dt_cand > 2.0 * dt) & (cfg.dt_grow * dt < cfg.dt_max),

@@ -1,0 +1,131 @@
+"""Multi-chip data-parallel execution via shard_map over a device mesh.
+
+The reference's only parallelism is OpenMP loops over a shared array
+(SUMMER_SPH.f90:257,302; SURVEY.md §2.3).  The TPU-native scaling axis is a
+1-D device mesh with the particle arrays sharded along the capacity
+dimension ("dp"):
+
+* each device owns a contiguous shard of particle rows and computes their
+  density/force/gravity sums;
+* neighbour columns are the all-gathered global particle set (positions and
+  pair fields are ~tens of MB at 1e6 particles — one all_gather per pair
+  pass over ICI, negligible next to the pair math);
+* sinks, t and dt are replicated; their global reductions (accretion sums,
+  gas->sink pull, dt minimum, sink-creation argmax) ride psum/pmin/
+  all_gather on the mesh axis — see the `axis_name` plumbing in ops/*.
+
+This is the same `integrate.step` code single-chip runs; shard_map just
+binds the axis.  The virtual 8-device CPU mesh in tests exercises the
+identical program the TPU pod slice would run.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimConfig
+from ..integrate import step
+from ..state import Particles, SimState, Sinks
+
+try:  # JAX >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(devices[:n], (axis,))
+
+
+def state_specs(axis: str = "dp") -> SimState:
+    """PartitionSpec pytree for SimState: particles sharded on rows,
+    sinks/t/dt replicated."""
+    def fill(cls, spec):
+        return cls(**{f: spec for f in cls.__dataclass_fields__})
+    return SimState(
+        particles=fill(Particles, P(axis)),
+        sinks=fill(Sinks, P()),
+        t=P(), dt=P(),
+    )
+
+
+def pad_state_to_devices(state: SimState, n_devices: int) -> SimState:
+    """Pad particle capacity to a multiple of the device count (dead slots)."""
+    cap = state.particles.capacity
+    rem = (-cap) % n_devices
+    if rem == 0:
+        return state
+    old = state.particles
+    padded = Particles.zeros(cap + rem, old.pos.dtype)
+    merged = jax.tree_util.tree_map(
+        lambda full, part: full.at[:cap].set(part), padded, old)
+    return state.replace(particles=merged)
+
+
+def shard_state(state: SimState, mesh: Mesh, axis: str = "dp") -> SimState:
+    """Place the state on the mesh with the canonical shardings."""
+    shardings = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), state_specs(axis),
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(state, shardings)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """shard_map with the static replication (VMA) checker off.
+
+    The checker cannot infer that the sink/t/dt outputs are replicated —
+    they are: every cross-shard quantity flows through psum / pmin /
+    all_gather before touching them, and tests/test_sharding.py asserts
+    numerical equality with the single-device step.
+    """
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # older JAX spelling
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = "dp"):
+    """Jitted data-parallel step: SimState (sharded) -> SimState."""
+    specs = state_specs(axis)
+    fn = _shard_map(partial(step, cfg=cfg, axis_name=axis),
+                    mesh, (specs,), specs)
+    return jax.jit(fn)
+
+
+def make_sharded_run_until(cfg: SimConfig, mesh: Mesh, axis: str = "dp",
+                           max_steps: int = 1_000_000):
+    """Jitted data-parallel run loop: (SimState, t_stop) -> SimState.
+
+    The while_loop lives inside shard_map so the whole simulation segment
+    stays on device; the loop condition reads the replicated time scalar.
+    """
+    specs = state_specs(axis)
+
+    def body(state: SimState, t_stop):
+        def cond(carry):
+            st, n = carry
+            return (st.t < t_stop) & (n < max_steps)
+
+        def bd(carry):
+            st, n = carry
+            return step(st, cfg, axis_name=axis), n + 1
+
+        out, _ = jax.lax.while_loop(
+            cond, bd, (state, jnp.asarray(0, jnp.int32)))
+        return out
+
+    fn = _shard_map(body, mesh, (specs, P()), specs)
+    return jax.jit(fn)
+
+
+__all__ = ["make_mesh", "state_specs", "pad_state_to_devices", "shard_state",
+           "make_sharded_step", "make_sharded_run_until"]

@@ -6,7 +6,12 @@ multi-chip sharding on a virtual CPU mesh; the same code path runs on TPU).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (the ambient environment pins JAX_PLATFORMS to the TPU tunnel and
+# a sitecustomize imports jax at interpreter startup; tests always run on the
+# virtual CPU mesh).  XLA_FLAGS is read at CPU-backend init, which hasn't
+# happened yet; the platform choice must go through jax.config because jax is
+# already imported.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Double precision for validation math (engine defaults to f32; tests that
 # pass float64 inputs get float64 compute on CPU).

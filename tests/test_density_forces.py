@@ -127,4 +127,4 @@ def test_dead_particles_are_inert():
     ps = eos_update(compute_density(p_small, cfg), cfg)
     acc_s, _, _ = compute_sph_forces(ps, cfg)
     np.testing.assert_allclose(np.asarray(acc)[: n // 2], np.asarray(acc_s),
-                               rtol=1e-5, atol=1e-8)
+                               rtol=1e-5, atol=1e-7)
