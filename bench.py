@@ -22,6 +22,13 @@ def main():
     gravity = os.environ.get("BENCH_GRAVITY", "none")
 
     import jax
+    try:  # persistent compile cache (first compiles are minutes on the tunnel)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from summersph_tpu.config import SimConfig
     from summersph_tpu.integrate import run_steps
     from summersph_tpu.models.disc import disc_ic
@@ -30,20 +37,21 @@ def main():
     # the kernel support holds ~60 neighbours at this N within r<100 AU.
     h0 = 100.0 * (60.0 / n) ** (1.0 / 3.0) / 2.0
     cfg = SimConfig(
-        fixed_h=h0, gravity=gravity, neighbor_mode="grid",
-        gamma=1.4, bounding_size=1500.0, cell_cap=96,
+        fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
+        gamma=1.4, bounding_size=1500.0,
         dt_init=1e-4, dt_min=1e-5, dt_max=1e-3,
     )
     state, _ = disc_ic(n=n, r_max=100.0, m_star=5.0, h0=h0,
                        rotation="keplerian", cfg=cfg, seed=0)
 
-    # Warm up (compile + 2 steps)
-    wu = run_steps(state, cfg, 2)
-    jax.block_until_ready(wu)
+    # Warm up with the same scan length (scan length is a static shape —
+    # a different warmup length would leave the compile inside the timing).
+    wu = run_steps(state, cfg, steps)
+    wu.t.block_until_ready()
 
     t0 = time.perf_counter()
-    out = run_steps(state, cfg, steps)
-    jax.block_until_ready(out)
+    out = run_steps(wu, cfg, steps)
+    out.t.block_until_ready()
     dt_wall = time.perf_counter() - t0
 
     alive = int(out.particles.n_alive)

@@ -71,12 +71,17 @@ class SimConfig:
     gravity: str = "none"
     grav_chunk: int = 1024              # pairwise chunk size for 'direct'
 
-    # --- neighbour cell grid
-    cell_cap: int = 64                  # max particles per cell (static shape)
-    neighbor_mode: str = "grid"         # 'grid' | 'dense' (O(N^2), small N / tests)
+    # --- neighbour search
+    # 'sorted' : SFC-sorted window engine (production path, ops.sorted_grid)
+    # 'grid'   : hashed cell grid (ops.neighbors)
+    # 'dense'  : O(N^2) all-pairs (small N / brute-force oracle in tests)
+    neighbor_mode: str = "grid"
+    cell_cap: int = 64                  # 'grid': max particles per hashed cell
+    sorted_block: int = 64              # 'sorted': rows per window group
+    window_blocks: int = 3              # 'sorted': 128-wide blocks per window
 
     # --- h-iteration (variable-h mode)
-    h_iter_max: int = 8                 # fixed Newton iteration count (masked convergence)
+    h_iter_max: int = 3                 # fixed Newton iteration count (masked convergence)
 
     # --- numerics
     dtype: str = "float32"              # 'float32' | 'float64'

@@ -11,9 +11,9 @@ Step skeleton mirrors the reference's `simulate` loop exactly
     sink accretion ; bounds cull
 
 but the whole step is one jitted, shape-static function `step(state) ->
-state`, and `run_until` wraps it in a `lax.while_loop` so the simulation
-stays on device between snapshot ticks (the reference rebuilds its tree and
-returns to the host every step).  The "tree" build is the hashed cell grid
+state`, and `run_until` advances it in jitted `lax.scan` segments so the
+simulation stays on device between snapshot ticks (the reference rebuilds
+its tree and returns to the host every step).  The "tree" build is the hashed cell grid
 (ops.neighbors) when `cfg.neighbor_mode == 'grid'`, or nothing for the dense
 O(N^2) path.
 
@@ -65,6 +65,9 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     12 MB f32), so replicated-columns + sharded-rows rides ICI once per pair
     pass and scales compute by the device count (SURVEY.md §2.3).
     """
+    if cfg.neighbor_mode == "sorted" and axis_name is None:
+        return _force_eval_sorted(p, s, cfg)
+
     cols0 = _gather(p, axis_name) if axis_name else None
     grid = (build_grid(cols0 if cols0 is not None else p, cfg)
             if cfg.neighbor_mode == "grid" else None)
@@ -87,6 +90,35 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     p = p.replace(acc=acc, du=du, dalpha=dalpha)
     s = s.replace(acc=acc_sink)
     return p, s
+
+
+def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
+    """force_eval on the SFC-sorted window engine (ops.sorted_grid).
+
+    Sorting permutes the particle arrays (identity tracked by `pid`); the
+    returned particle set is in sorted order, sliced back to the caller's
+    capacity (the sort pads with dead slots, which land at the end where the
+    slice drops them losslessly).
+    """
+    from .ops.sorted_grid import sort_particles, sorted_density, sorted_forces
+
+    cap0 = p.capacity
+    p2, sgrid = sort_particles(p, cfg)
+    p2 = sorted_density(p2, cfg, sgrid)
+    p2 = eos_update(p2, cfg)
+    acc, du, dalpha = sorted_forces(p2, cfg, sgrid)
+
+    if cfg.gravity == "direct":
+        acc = acc + gas_gravity_direct(p2, cfg)
+    elif cfg.gravity == "bh":
+        from .ops.bh_gravity import gas_gravity_bh
+        acc = acc + gas_gravity_bh(p2, cfg)
+
+    acc_gas_sink, acc_sink = sink_gravity(p2, s)
+    p2 = p2.replace(acc=acc + acc_gas_sink, du=du, dalpha=dalpha)
+    if p2.capacity != cap0:
+        p2 = jax.tree_util.tree_map(lambda a: a[:cap0], p2)
+    return p2, s.replace(acc=acc_sink)
 
 
 def kick(p: Particles, s: Sinks, dt):
@@ -142,28 +174,34 @@ def step(state: SimState, cfg: SimConfig,
     return state.replace(particles=p, sinks=s, t=t, dt=dt)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_steps"))
-def run_until(state: SimState, t_stop, cfg: SimConfig,
-              max_steps: int = 1_000_000) -> SimState:
-    """Advance until t >= t_stop entirely on device."""
-    t_stop = jnp.asarray(t_stop, state.t.dtype)
-
-    def cond(carry):
-        st, n = carry
-        return (st.t < t_stop) & (n < max_steps)
-
-    def body(carry):
-        st, n = carry
-        return step(st, cfg), n + 1
-
-    out, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0, jnp.int32)))
-    return out
-
-
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def run_steps(state: SimState, cfg: SimConfig, n_steps: int) -> SimState:
-    """Advance exactly n_steps on device (benchmarks / fixed-work segments)."""
-    return jax.lax.fori_loop(0, n_steps, lambda _, st: step(st, cfg), state)
+    """Advance exactly n_steps on device.
+
+    Implemented with lax.scan: on the TPU backend in use, dynamic-trip-count
+    loops (fori_loop / while_loop) execute ~100x slower than their bodies,
+    while scan runs at native speed (measured; see docs/PERF_NOTES.md).
+    """
+    return jax.lax.scan(lambda st, _: (step(st, cfg), None), state,
+                        None, length=n_steps)[0]
+
+
+def run_until(state: SimState, t_stop, cfg: SimConfig,
+              max_steps: int = 1_000_000, steps_per_sync: int = 8) -> SimState:
+    """Advance until t >= t_stop.
+
+    Device-side scan segments of `steps_per_sync` steps with one host sync
+    between segments (the t < t_stop check) — dynamic-trip while_loop is
+    pathological on the target backend (see run_steps).  May overshoot
+    t_stop by up to steps_per_sync - 1 steps, matching the reference's
+    "save on the first step past the tick" semantics (SUMMER_SPH.f90:881).
+    """
+    t_stop = float(t_stop)
+    done = 0
+    while float(state.t) < t_stop and done < max_steps:
+        state = run_steps(state, cfg, steps_per_sync)
+        done += steps_per_sync
+    return state
 
 
 def simulate(

@@ -7,9 +7,10 @@ update as the reference ("SUMMER_SPH - Variable.f90":515-546):
 
 re-summing rho(h) and Omega(h) between iterations.  The reference loops a
 data-dependent number of times per particle under OpenMP; on TPU we run a
-`lax.while_loop` with a per-particle convergence mask and a fixed iteration
-cap (`cfg.h_iter_max`) — deterministic shapes, early exit when every particle
-has converged (SURVEY.md §7 "hard parts").
+fixed-count `lax.scan` with a per-particle convergence mask
+(`cfg.h_iter_max` iterations) — deterministic shapes (SURVEY.md §7 "hard
+parts"), and scan because dynamic-trip loops are pathologically slow on the
+target backend.
 
 h is clamped to [0.01, min(cfg.max_length, stencil reach)] — the lower/upper
 bounds mirror V:531; the stencil bound (half the neighbour-grid cell size)
@@ -45,22 +46,21 @@ def update_smoothing(p: Particles, cfg: SimConfig,
         target = m * (cfg.eta / h) ** 3
         return h * (1.0 + (target / rho - 1.0) / (3.0 * omega))
 
-    def cond(carry):
-        it, _, active = carry
-        return (it < cfg.h_iter_max) & jnp.any(active)
-
-    def body(carry):
-        it, q, active = carry
+    # Fixed-count scan with a per-particle convergence mask: the target
+    # backend runs dynamic-trip loops ~100x slower than their bodies, so a
+    # small fixed iteration count (Newton converges quadratically from the
+    # previous step's h) beats while_loop early exit.
+    def body(carry, _):
+        q, active = carry
         q = compute_density(q, cfg.with_(fixed_h=None), grid, cols=cols)
         h_new = jnp.clip(newton(q.h, q.rho, q.omega, q.mass), 0.01, h_cap)
         rel = jnp.abs(h_new - q.h) / q.h
         h_next = jnp.where(active & q.alive, h_new, q.h)
         still = active & q.alive & (rel > cfg.convergence_criteria)
-        return it + 1, q.replace(h=h_next), still
+        return (q.replace(h=h_next), still), None
 
-    active0 = p.alive
-    _, p_out, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), p, active0))
+    (p_out, _), _ = jax.lax.scan(body, (p, p.alive), None,
+                                 length=cfg.h_iter_max)
 
     # Final consistency: density/Omega at the accepted h.
     p_out = compute_density(p_out, cfg.with_(fixed_h=None), grid, cols=cols)

@@ -1,0 +1,284 @@
+"""Sorted space-filling-curve neighbour engine (the production TPU path).
+
+The hashed cell grid (ops.neighbors) is correct but gather-bound: its
+stencil lookups are elementwise random gathers, which XLA TPU executes at
+~0.1 G elem/s.  Row-aligned slice gathers (`f2d[rows]` with 128-wide rows)
+run ~500x faster, so the production engine restructures neighbour search
+around them — the TPU translation of the reference's octree walk
+(SUMMER_SPH.f90:323-457) by way of the Gadget3-style SFC ordering
+(PAPERS.md):
+
+1. particles are sorted by a packed linear cell key
+   key = (cx << 20) | (cy << 10) | cz  (z fastest; 1024^3 clamped window
+   anchored at the live minimum; dead particles carry a sentinel key and
+   sort to the end);
+2. in sorted order, the neighbours of any cell at (dx, dy) offset occupy a
+   *contiguous key range* of 3 z-cells: [key + dx KX + dy KY - 1, ... + 1];
+3. rows are processed in groups of `cfg.sorted_block` consecutive sorted
+   particles; each group's 9 (dx, dy) candidate windows are found with two
+   searchsorted calls and gathered as `cfg.window_blocks` 128-row-aligned
+   slices — no random gathers anywhere;
+4. candidate membership is decided per row by an exact key-range test:
+   candidate j belongs to row i's offset-o stencil iff
+   key_i + off - 1 <= key_j <= key_i + off + 1.  These per-row ranges are
+   pairwise disjoint across the 9 offsets (offsets differ by >= 1024 while
+   each range spans 3), so no pair is ever double counted even though the
+   shared group windows overlap when a group straddles a y-column; coverage
+   follows from [k + off +- 1] being inside the queried group window
+   [kmin + off - 1, kmax + off + 1] for every row key k in [kmin, kmax].
+   Candidates dropped by window clamping are counted in
+   `n_window_overflow` — correctness degrades loudly.
+
+The whole particle pytree is sorted with one multi-operand lax.sort and
+*stays* sorted across the step (particle identity lives in `pid`,
+mirroring the reference's `number` field, SUMMER_SPH.f90:15).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SimConfig
+from ..state import Particles
+from . import pairs
+from .neighbors import SENTINEL_KEY, WINDOW, WINDOW_BITS
+
+KX = 1 << (2 * WINDOW_BITS)
+KY = 1 << WINDOW_BITS
+
+# (dx, dy) plane offsets; each covers dz in {-1, 0, 1} as one key range.
+PLANE_OFFSETS = [dx * KX + dy * KY
+                 for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+LANES = 128
+
+
+@struct.dataclass
+class SortedGrid:
+    key: jax.Array          # [Np] int32 sorted cell keys (padded; dead = sentinel)
+    starts: jax.Array       # [G, 9] int32 window start (particle index)
+    ends: jax.Array         # [G, 9] int32 window end (exclusive, <= first dead)
+    origin: jax.Array       # [3]
+    cell_size: jax.Array    # scalar
+    n_window_overflow: jax.Array  # candidates beyond the static window size
+    n_clamped: jax.Array    # live particles clamped to the window border
+
+    @property
+    def padded_n(self) -> int:
+        return self.key.shape[0]
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _cell_key(pos, origin, cell_size):
+    c = jnp.floor((pos - origin) / cell_size)
+    c = jnp.clip(c, 0.0, WINDOW - 1).astype(jnp.int32)
+    return (c[..., 0] << (2 * WINDOW_BITS)) | (c[..., 1] << WINDOW_BITS) | c[..., 2]
+
+
+_SORT_FIELDS = ("mass", "u", "rho", "pressure", "cs", "du", "alpha", "dalpha",
+                "h", "omega")
+
+
+def sort_particles(p: Particles, cfg: SimConfig,
+                   h_pad: float = 1.0) -> Tuple[Particles, SortedGrid]:
+    """Sort the particle pytree by cell key and precompute stencil windows.
+
+    Returns (sorted particles — possibly padded with dead slots to a
+    multiple of sorted_block*128, grid).  `h_pad` inflates the cell size
+    (headroom for the variable-h Newton iteration, ops.smoothing).
+    """
+    cap = p.capacity
+    B = cfg.sorted_block
+    padded = _pad_to(cap, max(B, LANES))
+    if padded != cap:
+        base = Particles.zeros(padded, p.pos.dtype)
+        p = jax.tree_util.tree_map(
+            lambda full, part: full.at[:cap].set(part), base, p)
+        cap = padded
+
+    inf = jnp.asarray(jnp.inf, p.pos.dtype)
+    origin = jnp.min(jnp.where(p.alive[:, None], p.pos, inf), axis=0)
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+    h_max = jnp.max(jnp.where(p.alive, p.h, 0.0))
+    cell_size = jnp.maximum(2.0 * h_max * h_pad, 1.0e-12)
+
+    key = jnp.where(p.alive, _cell_key(p.pos, origin, cell_size),
+                    SENTINEL_KEY)
+    raw = (p.pos - origin) / cell_size
+    n_clamped = jnp.sum(p.alive & jnp.any(raw >= WINDOW, axis=-1)).astype(jnp.int32)
+
+    # One fused sort of every field (bool/ints carried as sort operands).
+    operands = [key]
+    operands += [p.pos[:, k] for k in range(3)]
+    operands += [p.vel[:, k] for k in range(3)]
+    operands += [p.acc[:, k] for k in range(3)]
+    operands += [getattr(p, f) for f in _SORT_FIELDS]
+    operands += [p.alive.astype(jnp.int32), p.pid]
+    out = jax.lax.sort(operands, num_keys=1, is_stable=False)
+    key_s = out[0]
+    pos = jnp.stack(out[1:4], axis=-1)
+    vel = jnp.stack(out[4:7], axis=-1)
+    acc = jnp.stack(out[7:10], axis=-1)
+    rest = dict(zip(_SORT_FIELDS, out[10:10 + len(_SORT_FIELDS)]))
+    alive = out[10 + len(_SORT_FIELDS)].astype(bool)
+    pid = out[11 + len(_SORT_FIELDS)]
+    p_s = p.replace(pos=pos, vel=vel, acc=acc, alive=alive, pid=pid, **rest)
+
+    # Group stencil windows.
+    G = cap // B
+    kmin = key_s.reshape(G, B)[:, 0]
+    kmax = key_s.reshape(G, B)[:, -1]
+    first_dead = jnp.searchsorted(key_s, SENTINEL_KEY, side="left"
+                                  ).astype(jnp.int32)
+    offs = jnp.asarray(PLANE_OFFSETS, jnp.int32)                 # [9]
+    lo = kmin[:, None] + offs[None, :] - 1                       # [G, 9]
+    hi = kmax[:, None] + offs[None, :] + 1
+    starts = jnp.searchsorted(key_s, lo.reshape(-1), side="left"
+                              ).reshape(G, 9).astype(jnp.int32)
+    ends = jnp.searchsorted(key_s, hi.reshape(-1), side="right"
+                            ).reshape(G, 9).astype(jnp.int32)
+    ends = jnp.minimum(ends, first_dead)
+    ends = jnp.maximum(ends, starts)
+
+    reach = (starts // LANES) * LANES + cfg.window_blocks * LANES
+    n_over = jnp.sum(jnp.maximum(ends - reach, 0)).astype(jnp.int32)
+
+    grid = SortedGrid(
+        key=key_s, starts=starts, ends=ends, origin=origin,
+        cell_size=cell_size, n_window_overflow=n_over, n_clamped=n_clamped,
+    )
+    return p_s, grid
+
+
+def _window_gather(f2d, sb, blk):
+    """Gather one 128-wide block row per group: [G] -> [G, 128]."""
+    rows = jnp.clip(sb + blk, 0, f2d.shape[0] - 1)
+    return f2d[rows]
+
+
+def _gi_valid(sb, blk, cap):
+    """[G, 1, 128] mask: global index of this gathered lane is in range
+    (rejects the duplicate lanes produced by clamping near the array top)."""
+    lane = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    gi = (sb[:, None] + blk) * LANES + lane                      # [G, 128]
+    return ((gi >= 0) & (gi < cap))[:, None, :]
+
+
+def sorted_density(p: Particles, cfg: SimConfig, grid: SortedGrid,
+                   ) -> Particles:
+    """Density + Omega over the sorted windows (rows == cols == p, sorted)."""
+    cap = p.capacity
+    B = cfg.sorted_block
+    G = cap // B
+    R = cap // LANES
+
+    x2 = p.pos[:, 0].reshape(R, LANES)
+    y2 = p.pos[:, 1].reshape(R, LANES)
+    z2 = p.pos[:, 2].reshape(R, LANES)
+    m2 = jnp.where(p.alive, p.mass, 0.0).reshape(R, LANES)
+    k2 = grid.key.reshape(R, LANES)
+
+    xi = p.pos[:, 0].reshape(G, B, 1)
+    yi = p.pos[:, 1].reshape(G, B, 1)
+    zi = p.pos[:, 2].reshape(G, B, 1)
+    hi = p.h.reshape(G, B, 1)
+    ki = grid.key.reshape(G, B, 1)
+
+    sb = grid.starts // LANES
+    rho = jnp.zeros((G, B), p.pos.dtype)
+    omega_raw = jnp.zeros((G, B), p.pos.dtype)
+    for o in range(9):
+        lo = ki + (PLANE_OFFSETS[o] - 1)
+        hi_k = ki + (PLANE_OFFSETS[o] + 1)
+        for blk in range(cfg.window_blocks):
+            cx = _window_gather(x2, sb[:, o], blk)[:, None, :]   # [G, 1, 128]
+            cy = _window_gather(y2, sb[:, o], blk)[:, None, :]
+            cz = _window_gather(z2, sb[:, o], blk)[:, None, :]
+            cm = _window_gather(m2, sb[:, o], blk)[:, None, :]
+            kj = _window_gather(k2, sb[:, o], blk)[:, None, :]
+            mask = (kj >= lo) & (kj <= hi_k) & _gi_valid(sb[:, o], blk, cap)
+            r, w = pairs.density_sums(xi - cx, yi - cy, zi - cz, hi, cm, mask)
+            rho = rho + r
+            omega_raw = omega_raw + w
+
+    rho, omega = pairs.finalize_density(
+        rho.reshape(cap), omega_raw.reshape(cap), p.h, p.alive)
+    if cfg.fixed_h is not None:
+        omega = jnp.ones_like(omega)
+    return p.replace(rho=rho, omega=omega)
+
+
+def sorted_forces(p: Particles, cfg: SimConfig, grid: SortedGrid):
+    """SPH pressure+viscosity force pass over the sorted windows.
+
+    Returns (acc [N,3], du [N], dalpha [N]) in the sorted order of `p`.
+    """
+    cap = p.capacity
+    B = cfg.sorted_block
+    G = cap // B
+    R = cap // LANES
+
+    def two_d(a):
+        return a.reshape(R, LANES)
+
+    cols = dict(
+        x=two_d(p.pos[:, 0]), y=two_d(p.pos[:, 1]), z=two_d(p.pos[:, 2]),
+        vx=two_d(p.vel[:, 0]), vy=two_d(p.vel[:, 1]), vz=two_d(p.vel[:, 2]),
+        h=two_d(p.h), P=two_d(p.pressure), rho=two_d(p.rho),
+        om=two_d(p.omega), cs=two_d(p.cs), al=two_d(p.alpha),
+        m=two_d(jnp.where(p.alive, p.mass, 0.0)),
+    )
+    k2 = grid.key.reshape(R, LANES)
+
+    def rows(a):
+        return a.reshape(G, B, 1)
+
+    xi, yi, zi = rows(p.pos[:, 0]), rows(p.pos[:, 1]), rows(p.pos[:, 2])
+    vxi, vyi, vzi = rows(p.vel[:, 0]), rows(p.vel[:, 1]), rows(p.vel[:, 2])
+    hi, Pi, rhoi = rows(p.h), rows(p.pressure), rows(p.rho)
+    omi, csi, ali = rows(p.omega), rows(p.cs), rows(p.alpha)
+    ki = grid.key.reshape(G, B, 1)
+
+    sb = grid.starts // LANES
+    z = jnp.zeros((G, B), p.pos.dtype)
+    ax, ay, az, du, araw = z, z, z, z, z
+    for o in range(9):
+        lo = ki + (PLANE_OFFSETS[o] - 1)
+        hi_k = ki + (PLANE_OFFSETS[o] + 1)
+        for blk in range(cfg.window_blocks):
+            g = {k: _window_gather(v, sb[:, o], blk)[:, None, :]
+                 for k, v in cols.items()}
+            kj = _window_gather(k2, sb[:, o], blk)[:, None, :]
+            mask = (kj >= lo) & (kj <= hi_k) & _gi_valid(sb[:, o], blk, cap)
+            dax, day, daz, ddu, dar = pairs.force_sums(
+                xi - g["x"], yi - g["y"], zi - g["z"],
+                vxi - g["vx"], vyi - g["vy"], vzi - g["vz"],
+                hi, g["h"], Pi, g["P"], rhoi, g["rho"],
+                omi, g["om"], csi, g["cs"], ali, g["al"],
+                g["m"], mask, cfg,
+            )
+            ax, ay, az = ax + dax, ay + day, az + daz
+            du, araw = du + ddu, araw + dar
+
+    acc = jnp.stack([ax.reshape(cap), ay.reshape(cap), az.reshape(cap)],
+                    axis=-1)
+    du = du.reshape(cap)
+    araw = araw.reshape(cap)
+    dalpha = pairs.alpha_rate(araw, p.rho, p.alpha, p.cs, p.h, cfg)
+    alive = p.alive
+    return (
+        jnp.where(alive[:, None], acc, 0.0),
+        jnp.where(alive, du, 0.0),
+        jnp.where(alive, dalpha, 0.0),
+    )
+
+
+__all__ = ["SortedGrid", "sort_particles", "sorted_density", "sorted_forces",
+           "PLANE_OFFSETS", "LANES"]

@@ -101,31 +101,38 @@ def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = "dp"):
     return jax.jit(fn)
 
 
-def make_sharded_run_until(cfg: SimConfig, mesh: Mesh, axis: str = "dp",
-                           max_steps: int = 1_000_000):
-    """Jitted data-parallel run loop: (SimState, t_stop) -> SimState.
+def make_sharded_run_steps(cfg: SimConfig, mesh: Mesh, axis: str = "dp",
+                           n_steps: int = 8):
+    """Jitted data-parallel scan of n_steps: SimState (sharded) -> SimState.
 
-    The while_loop lives inside shard_map so the whole simulation segment
-    stays on device; the loop condition reads the replicated time scalar.
+    Fixed-count scan rather than a while_loop — dynamic-trip loops run ~100x
+    slower than their bodies on the target backend.  Drive t-bounded runs
+    from the host: loop segments and test `state.t` between them (the same
+    pattern as integrate.run_until).
     """
     specs = state_specs(axis)
 
-    def body(state: SimState, t_stop):
-        def cond(carry):
-            st, n = carry
-            return (st.t < t_stop) & (n < max_steps)
+    def body(state: SimState):
+        return jax.lax.scan(
+            lambda st, _: (step(st, cfg, axis_name=axis), None),
+            state, None, length=n_steps)[0]
 
-        def bd(carry):
-            st, n = carry
-            return step(st, cfg, axis_name=axis), n + 1
-
-        out, _ = jax.lax.while_loop(
-            cond, bd, (state, jnp.asarray(0, jnp.int32)))
-        return out
-
-    fn = _shard_map(body, mesh, (specs, P()), specs)
+    fn = _shard_map(body, mesh, (specs,), specs)
     return jax.jit(fn)
 
 
+def sharded_run_until(state: SimState, t_stop, cfg: SimConfig, mesh: Mesh,
+                      axis: str = "dp", max_steps: int = 1_000_000,
+                      steps_per_sync: int = 8) -> SimState:
+    """Host-driven t-bounded multi-chip run (see make_sharded_run_steps)."""
+    seg = make_sharded_run_steps(cfg, mesh, axis, steps_per_sync)
+    t_stop = float(t_stop)
+    done = 0
+    while float(state.t) < t_stop and done < max_steps:
+        state = seg(state)
+        done += steps_per_sync
+    return state
+
+
 __all__ = ["make_mesh", "state_specs", "pad_state_to_devices", "shard_state",
-           "make_sharded_step", "make_sharded_run_until"]
+           "make_sharded_step", "make_sharded_run_steps", "sharded_run_until"]

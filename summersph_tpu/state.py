@@ -55,6 +55,8 @@ class Particles:
     h: jax.Array          # [N] smoothing length
     omega: jax.Array      # [N] grad-h Omega correction
     alive: jax.Array      # [N] bool
+    pid: jax.Array        # [N] int32 stable particle id (reference `number`
+                          # field, SUMMER_SPH.f90:15 — survives re-sorting)
 
     @property
     def capacity(self) -> int:
@@ -76,6 +78,7 @@ class Particles:
             h=jnp.ones((capacity,), dtype),
             omega=jnp.ones((capacity,), dtype),
             alive=jnp.zeros((capacity,), bool),
+            pid=jnp.arange(capacity, dtype=jnp.int32),
         )
 
     @classmethod
