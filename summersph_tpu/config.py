@@ -67,9 +67,15 @@ class SimConfig:
     # --- gravity
     # 'none'    : no self-gravity (Sod tube / ring configs)
     # 'direct'  : chunked all-pairs softened gravity (exact)
-    # 'bh'      : cell-hierarchy Barnes-Hut monopole walk (theta criterion)
+    # 'bh'/'pm' : FFT particle-mesh + short-range correction (TreePM split) —
+    #             the O(N log N) replacement for the reference's theta=0.5
+    #             Barnes-Hut monopole walk, with comparable (~1%) force error
     gravity: str = "none"
     grav_chunk: int = 1024              # pairwise chunk size for 'direct'
+    grav_grid: int = 128                # PM mesh cells per axis (pre-padding)
+    grav_split_rs: float = 1.5          # Gaussian split scale, in mesh cells
+    grav_rcut_rs: float = 5.0           # short-range cutoff, in units of r_s
+    grav_window_blocks: int = 3         # window blocks for the gravity sort
 
     # --- neighbour search
     # 'sorted' : SFC-sorted window engine (production path, ops.sorted_grid)

@@ -80,9 +80,9 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
 
     if cfg.gravity == "direct":
         acc = acc + gas_gravity_direct(p, cfg, cols=cols)
-    elif cfg.gravity == "bh":
-        from .ops.bh_gravity import gas_gravity_bh
-        acc = acc + gas_gravity_bh(p, cfg, cols=cols)
+    elif cfg.gravity in ("bh", "pm", "treepm"):
+        from .ops.pm_gravity import gas_gravity_pm
+        acc = acc + gas_gravity_pm(p, cfg, cols=cols)
 
     acc_gas_sink, acc_sink = sink_gravity(p, s, axis_name=axis_name)
     acc = acc + acc_gas_sink
@@ -110,9 +110,9 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
 
     if cfg.gravity == "direct":
         acc = acc + gas_gravity_direct(p2, cfg)
-    elif cfg.gravity == "bh":
-        from .ops.bh_gravity import gas_gravity_bh
-        acc = acc + gas_gravity_bh(p2, cfg)
+    elif cfg.gravity in ("bh", "pm", "treepm"):
+        from .ops.pm_gravity import gas_gravity_pm
+        acc = acc + gas_gravity_pm(p2, cfg)
 
     acc_gas_sink, acc_sink = sink_gravity(p2, s)
     p2 = p2.replace(acc=acc + acc_gas_sink, du=du, dalpha=dalpha)

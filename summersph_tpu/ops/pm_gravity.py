@@ -1,0 +1,259 @@
+"""Self-gravity at scale: particle-mesh (FFT) + short-range correction.
+
+TPU-native replacement for the reference's recursive Barnes-Hut monopole
+walk (SUMMER_SPH.f90:249-290).  A pointer-chasing tree walk is hostile to
+XLA; the classic accelerator-native equivalent with the same (percent-level)
+accuracy is the TreePM force split (Gadget-style; PAPERS.md lists the
+GPU-BH/Cornerstone lineage — we go one step further to the FFT form, which
+maps onto XLA's native batched FFTs):
+
+  F_total(r) = F_long(r) + F_short(r)
+
+* F_long: cloud-in-cell (CIC) mass deposit on a `grav_grid`^3 mesh over the
+  live bounding cube, Poisson solve in k-space with a Gaussian-filtered
+  Green's function  phi(k) = -4 pi G rho(k) exp(-k^2 r_s^2) / k^2, isolated
+  (vacuum) boundaries via 2x zero padding, force by 4th-..2nd-order central
+  differences of phi, CIC-interpolated back to particles.
+* F_short: direct pair sum over a gravity-sized sorted-window structure
+  (ops.sorted_grid machinery with cell = r_cut) of the complementary kernel
+
+      g_short(r) = f_spline(r/h) - S(r),
+      S(r) = erf(r/(2 r_s)) - r/(r_s sqrt(pi)) exp(-r^2/(4 r_s^2)),
+
+  where S is the fraction of a Gaussian-smoothed point mass's force at r
+  (what the mesh already delivers) and f_spline is the reference's
+  compact-support softening (ops.kernels.grav_softening, receiver-side h as
+  in "SUMMER_SPH - Variable.f90":298-301).  g_short -> 0 beyond
+  r_cut = `grav_rcut_rs` * r_s, so the pair sum is local.
+
+Accuracy: rms force error ~1% vs direct summation (tests/test_gravity.py),
+comparable to the reference's theta = 0.5 monopole walk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..state import Particles
+from ..utils.units import G, PI
+from . import pairs as _pairs  # noqa: F401  (shared style; masks/guards)
+from .kernels import grav_softening
+from .sorted_grid import LANES, PLANE_OFFSETS, sort_particles
+
+
+def _cic_deposit(pos, mass, origin, cell, n):
+    """CIC (trilinear) mass deposit onto an [n, n, n] mesh (flattened)."""
+    u = (pos - origin) / cell - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+    rho = jnp.zeros((n * n * n,), mass.dtype)
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - frac[:, 0], frac[:, 0])
+        ix = jnp.clip(i0[:, 0] + dx, 0, n - 1)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - frac[:, 1], frac[:, 1])
+            iy = jnp.clip(i0[:, 1] + dy, 0, n - 1)
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - frac[:, 2], frac[:, 2])
+                iz = jnp.clip(i0[:, 2] + dz, 0, n - 1)
+                flat = (ix * n + iy) * n + iz
+                rho = rho.at[flat].add(mass * wx * wy * wz)
+    return rho.reshape(n, n, n)
+
+
+def _cic_gather(field, pos, origin, cell, n):
+    """CIC interpolation of a [n,n,n,3] field to particle positions."""
+    u = (pos - origin) / cell - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+    flat_field = field.reshape(n * n * n, 3)
+    out = jnp.zeros((pos.shape[0], 3), field.dtype)
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1.0 - frac[:, 0], frac[:, 0])
+        ix = jnp.clip(i0[:, 0] + dx, 0, n - 1)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1.0 - frac[:, 1], frac[:, 1])
+            iy = jnp.clip(i0[:, 1] + dy, 0, n - 1)
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1.0 - frac[:, 2], frac[:, 2])
+                iz = jnp.clip(i0[:, 2] + dz, 0, n - 1)
+                flat = (ix * n + iy) * n + iz
+                w = (wx * wy * wz)[:, None]
+                out = out + w * flat_field[flat]
+    return out
+
+
+def pm_long_range(p: Particles, cfg: SimConfig):
+    """Gaussian-filtered long-range gravitational acceleration (CIC-PM).
+
+    Returns (acc [N,3], origin, cell, r_s) — r_s is the split scale the
+    short-range pass must complement.
+    """
+    n = cfg.grav_grid
+    npad = 2 * n  # isolated (vacuum) BCs: zero-pad the mass to 2x per axis
+
+    inf = jnp.asarray(jnp.inf, p.pos.dtype)
+    alive3 = p.alive[:, None]
+    lo = jnp.min(jnp.where(alive3, p.pos, inf), axis=0)
+    hi = jnp.max(jnp.where(alive3, p.pos, -inf), axis=0)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
+    # Keep all particles in mesh cells [1, n-2]: the finite-difference halo
+    # then never touches the FFT wrap plane at index 0 / n-1 of the padded box.
+    extent = jnp.maximum(jnp.max(hi - lo), 1.0e-6)
+    cell = extent / (n - 3)
+    origin = lo - 1.5 * cell
+    r_s = cfg.grav_split_rs * cell
+
+    m = jnp.where(p.alive, p.mass, 0.0)
+    rho = _cic_deposit(p.pos, m, origin, cell, n) / cell ** 3
+
+    rho_pad = jnp.zeros((npad, npad, npad), rho.dtype).at[:n, :n, :n].set(rho)
+    rho_k = jnp.fft.rfftn(rho_pad)
+
+    # Isolated (vacuum) boundaries, Hockney-Eastwood style: the Green's
+    # function is the FFT of the *open-space* smoothed point-mass potential
+    #   phi_point(r) = -G erf(r / (2 r_s)) / r     (finite at r = 0)
+    # sampled on the padded grid with wrapped displacements.  (The naive
+    # -4 pi G / k^2 would impose periodic images at the padded box scale —
+    # measured as a few-percent force deficit.)
+    idx = jnp.arange(npad)
+    d1 = jnp.where(idx <= npad // 2, idx, idx - npad).astype(rho.dtype) * cell
+    r_grid = jnp.sqrt(d1[:, None, None] ** 2 + d1[None, :, None] ** 2
+                      + d1[None, None, :] ** 2)
+    r_safe = jnp.maximum(r_grid, 1.0e-30)
+    kern = -G * jax.scipy.special.erf(r_safe / (2.0 * r_s)) / r_safe
+    kern = kern.at[0, 0, 0].set(-G / (r_s * jnp.sqrt(PI)))
+    kern_k = jnp.fft.rfftn(kern * cell ** 3)  # volume factor: DFT -> integral
+
+    # Deconvolve the CIC assignment window twice (deposit + interpolation):
+    # W_CIC(k) = prod_i sinc^2(k_i cell / 2).  The Gaussian split suppresses
+    # high k, so the division is well-conditioned.
+    kx = jnp.fft.fftfreq(npad) * (2.0 * PI / cell)
+    kz = jnp.fft.rfftfreq(npad) * (2.0 * PI / cell)
+
+    def sinc2(k):
+        x = k * cell / 2.0
+        s = jnp.where(jnp.abs(x) > 1.0e-6, jnp.sin(x) / jnp.where(
+            jnp.abs(x) > 1.0e-6, x, 1.0), 1.0)
+        return s * s
+    w_cic = (sinc2(kx)[:, None, None] * sinc2(kx)[None, :, None]
+             * sinc2(kz)[None, None, :])
+    deconv = 1.0 / jnp.maximum(w_cic * w_cic, 0.05)
+
+    phi_k = rho_k * kern_k * deconv.astype(rho_k.dtype)
+
+    # Force = -grad phi via the exact spectral gradient F(k) = -i k phi(k)
+    # (finite differences attenuate the mid-k band by a few percent).
+    def spectral_force(kvec_bcast):
+        return jnp.fft.irfftn((-1j) * kvec_bcast * phi_k,
+                              s=(npad, npad, npad))
+    gx = spectral_force(kx[:, None, None].astype(jnp.float32))
+    gy = spectral_force(kx[None, :, None].astype(jnp.float32))
+    gz = spectral_force(kz[None, None, :].astype(jnp.float32))
+    force = jnp.stack([gx[:n, :n, :n], gy[:n, :n, :n], gz[:n, :n, :n]],
+                      axis=-1)
+
+    acc = _cic_gather(force, p.pos, origin, cell, n)
+    acc = jnp.where(p.alive[:, None], acc.astype(p.pos.dtype), 0.0)
+    return acc, origin, cell, r_s
+
+
+def _short_factor(r, h_i, r_s):
+    """g_short(r) = f_spline(r/h) - S(r): what the mesh didn't deliver."""
+    s = (jax.scipy.special.erf(r / (2.0 * r_s))
+         - r / (r_s * jnp.sqrt(PI)) * jnp.exp(-r * r / (4.0 * r_s * r_s)))
+    return grav_softening(r, h_i) - s
+
+
+def pm_short_range(p: Particles, cfg: SimConfig, r_s):
+    """Direct complementary pair force within r_cut, via gravity-sized
+    sorted windows.  `p` may be in any order; output matches its order."""
+    r_cut = cfg.grav_rcut_rs * r_s
+
+    # Sort by gravity-cell key (cell = r_cut covers the stencil reach).
+    gcfg = cfg.with_(sorted_block=cfg.sorted_block,
+                     window_blocks=cfg.grav_window_blocks)
+    p2, grid = sort_particles(p, gcfg, cell_size_override=r_cut)
+
+    cap = p2.capacity
+    B = gcfg.sorted_block
+    Gn = cap // B
+    R = cap // LANES
+
+    x2 = p2.pos[:, 0].reshape(R, LANES)
+    y2 = p2.pos[:, 1].reshape(R, LANES)
+    z2 = p2.pos[:, 2].reshape(R, LANES)
+    m2 = jnp.where(p2.alive, p2.mass, 0.0).reshape(R, LANES)
+    k2 = grid.key.reshape(R, LANES)
+
+    xi = p2.pos[:, 0].reshape(Gn, B, 1)
+    yi = p2.pos[:, 1].reshape(Gn, B, 1)
+    zi = p2.pos[:, 2].reshape(Gn, B, 1)
+    hi = p2.h.reshape(Gn, B, 1)
+    ki = grid.key.reshape(Gn, B, 1)
+
+    sb = grid.starts // LANES
+    z = jnp.zeros((Gn, B), p2.pos.dtype)
+    ax, ay, az = z, z, z
+    lane = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+    for o in range(9):
+        lo = ki + (PLANE_OFFSETS[o] - 1)
+        hi_k = ki + (PLANE_OFFSETS[o] + 1)
+        for blk in range(gcfg.window_blocks):
+            rows = jnp.clip(sb[:, o] + blk, 0, R - 1)
+            cx = x2[rows][:, None, :]
+            cy = y2[rows][:, None, :]
+            cz = z2[rows][:, None, :]
+            cm = m2[rows][:, None, :]
+            kj = k2[rows][:, None, :]
+            gi = ((sb[:, o, None] + blk) * LANES + lane)[:, None, :]
+            mask = (kj >= lo) & (kj <= hi_k) & (gi >= 0) & (gi < cap)
+
+            dxx = xi - cx
+            dxy = yi - cy
+            dxz = zi - cz
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            r = jnp.sqrt(r2)
+            valid = mask & (r > 0.0) & (r < r_cut)
+            gshort = _short_factor(r, hi, r_s)
+            inv_r3 = jnp.where(valid, 1.0 / jnp.where(valid, r2 * r, 1.0), 0.0)
+            coef = -G * jnp.where(valid, cm, 0.0) * gshort * inv_r3
+            ax = ax + jnp.sum(coef * dxx, axis=-1)
+            ay = ay + jnp.sum(coef * dxy, axis=-1)
+            az = az + jnp.sum(coef * dxz, axis=-1)
+
+    acc_sorted = jnp.stack([ax.reshape(cap), ay.reshape(cap),
+                            az.reshape(cap)], axis=-1)
+    acc_sorted = jnp.where(p2.alive[:, None], acc_sorted, 0.0)
+
+    # Un-permute to the caller's order via pid (p.pid is a permutation of
+    # 0..cap-1 within each sort because ids are stable).
+    inv = jnp.zeros((cap,), jnp.int32).at[p2.pid].set(
+        jnp.arange(cap, dtype=jnp.int32))
+    acc = acc_sorted[inv[p.pid]]
+    return acc
+
+
+def gas_gravity_pm(p: Particles, cfg: SimConfig,
+                   cols: Particles | None = None) -> jax.Array:
+    """Full PM + short-range self-gravity for the row particles.
+
+    `cols` (multi-chip all-gathered set) is not yet supported — the PM mesh
+    needs the global mass distribution; the sharded path falls back to
+    direct gravity for now.
+    """
+    if cols is not None:
+        raise NotImplementedError(
+            "PM gravity under shard_map: deposit/solve on replicated mesh "
+            "not wired yet; use gravity='direct' in sharded runs")
+    acc_long, _, _, r_s = pm_long_range(p, cfg)
+    acc_short = pm_short_range(p, cfg, r_s)
+    return acc_long + acc_short
+
+
+__all__ = ["gas_gravity_pm", "pm_long_range", "pm_short_range"]

@@ -86,13 +86,16 @@ _SORT_FIELDS = ("mass", "u", "rho", "pressure", "cs", "du", "alpha", "dalpha",
                 "h", "omega")
 
 
-def sort_particles(p: Particles, cfg: SimConfig,
-                   h_pad: float = 1.0) -> Tuple[Particles, SortedGrid]:
+def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
+                   cell_size_override=None) -> Tuple[Particles, SortedGrid]:
     """Sort the particle pytree by cell key and precompute stencil windows.
 
     Returns (sorted particles — possibly padded with dead slots to a
     multiple of sorted_block*128, grid).  `h_pad` inflates the cell size
-    (headroom for the variable-h Newton iteration, ops.smoothing).
+    (headroom for the variable-h Newton iteration, ops.smoothing);
+    `cell_size_override` replaces the 2*h_max kernel-support sizing entirely
+    (the PM short-range pass sorts by r_cut-sized cells,
+    ops.pm_gravity).
     """
     cap = p.capacity
     B = cfg.sorted_block
@@ -106,8 +109,12 @@ def sort_particles(p: Particles, cfg: SimConfig,
     inf = jnp.asarray(jnp.inf, p.pos.dtype)
     origin = jnp.min(jnp.where(p.alive[:, None], p.pos, inf), axis=0)
     origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
-    h_max = jnp.max(jnp.where(p.alive, p.h, 0.0))
-    cell_size = jnp.maximum(2.0 * h_max * h_pad, 1.0e-12)
+    if cell_size_override is not None:
+        cell_size = jnp.maximum(jnp.asarray(cell_size_override, p.pos.dtype),
+                                1.0e-12)
+    else:
+        h_max = jnp.max(jnp.where(p.alive, p.h, 0.0))
+        cell_size = jnp.maximum(2.0 * h_max * h_pad, 1.0e-12)
 
     key = jnp.where(p.alive, _cell_key(p.pos, origin, cell_size),
                     SENTINEL_KEY)

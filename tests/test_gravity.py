@@ -1,0 +1,82 @@
+"""Gravity: direct softened pairs, sink gravity, PM/TreePM accuracy."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from summersph_tpu.config import SimConfig
+from summersph_tpu.ops.gravity import gas_gravity_direct, sink_gravity
+from summersph_tpu.ops.pm_gravity import gas_gravity_pm
+from summersph_tpu.state import Particles, Sinks
+from summersph_tpu.utils.units import G
+
+
+def cloud(n=512, r=50.0, h=1.0, seed=0, capacity=None):
+    rng = np.random.default_rng(seed)
+    pos = rng.standard_normal((n, 3)) * r / 3
+    return Particles.create(pos=pos, vel=np.zeros((n, 3)),
+                            mass=rng.random(n) / n + 0.5 / n,
+                            u=np.ones(n), h=h, capacity=capacity)
+
+
+def test_two_body_newtonian_outside_support():
+    p = Particles.create(pos=[[0, 0, 0], [10.0, 0, 0]], vel=np.zeros((2, 3)),
+                         mass=[2.0, 3.0], u=[1, 1], h=1.0)
+    cfg = SimConfig(gravity="direct")
+    acc = np.asarray(gas_gravity_direct(p, cfg))
+    # r = 10 > 2h: pure Newtonian
+    expect0 = G * 3.0 / 100.0
+    assert acc[0, 0] == pytest.approx(expect0, rel=1e-5)
+    assert acc[1, 0] == pytest.approx(-G * 2.0 / 100.0, rel=1e-5)
+    # momentum conservation
+    ptot = (p.mass[:, None] * acc).sum(0)
+    np.testing.assert_allclose(np.asarray(ptot), 0.0, atol=1e-5)
+
+
+def test_close_pair_softened():
+    h = 2.0
+    p = Particles.create(pos=[[0, 0, 0], [0.1, 0, 0]], vel=np.zeros((2, 3)),
+                         mass=[1.0, 1.0], u=[1, 1], h=h)
+    cfg = SimConfig(gravity="direct")
+    acc = np.asarray(gas_gravity_direct(p, cfg))
+    newton = G / 0.01
+    # Spline-softened force is far below Newtonian and finite
+    assert 0 < acc[0, 0] < 0.05 * newton
+
+
+def test_sink_gravity_circular_orbit():
+    # gas particle at r with keplerian v: a = -G M / r^2 toward sink
+    M = 5.0
+    r = 30.0
+    p = Particles.create(pos=[[r, 0, 0]], vel=[[0, np.sqrt(G * M / r), 0]],
+                         mass=[1e-9], u=[1.0], h=1.0)
+    s = Sinks.create(pos=np.zeros((1, 3)), vel=np.zeros((1, 3)),
+                     mass=[M], radius=[1.0])
+    acc_gas, acc_sink = sink_gravity(p, s)
+    assert float(acc_gas[0, 0]) == pytest.approx(-G * M / r ** 2, rel=1e-5)
+    # force back on sink is tiny (gas mass 1e-9) but momentum-consistent
+    np.testing.assert_allclose(
+        np.asarray(p.mass[:, None] * acc_gas + s.mass[:, None] * acc_sink).sum(0),
+        0.0, atol=1e-7)
+
+
+def test_pm_matches_direct_on_cloud():
+    p = cloud(n=768, h=0.5, capacity=768)
+    cfg = SimConfig(gravity="pm", grav_grid=64, neighbor_mode="sorted",
+                    sorted_block=64, window_blocks=3, grav_window_blocks=3)
+    a_direct = np.asarray(gas_gravity_direct(p, cfg))
+    a_pm = np.asarray(gas_gravity_pm(p, cfg))
+    # rms force error well under the reference's theta=0.5 walk (~1%)
+    num = np.linalg.norm(a_pm - a_direct, axis=1)
+    den = np.linalg.norm(a_direct, axis=1)
+    rel = num / np.maximum(den, 1e-12)
+    assert np.sqrt(np.mean(rel ** 2)) < 0.01, np.sqrt(np.mean(rel ** 2))
+    assert np.median(rel) < 0.005
+
+
+def test_pm_dead_particles_ignored():
+    p = cloud(n=256, h=0.5, capacity=300)
+    cfg = SimConfig(gravity="pm", grav_grid=32)
+    acc = np.asarray(gas_gravity_pm(p, cfg))
+    assert np.isfinite(acc).all()
+    assert np.all(acc[256:] == 0.0)
