@@ -215,6 +215,8 @@ def simulate(
     """Full run to cfg.end_time with n_saves evenly spaced snapshots."""
     from .io.txt import save_path, write_snapshot_txt
 
+    from .diagnostics import format_report, measure
+
     ticks = [cfg.end_time * (i + 1) / cfg.n_saves for i in range(cfg.n_saves)]
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -224,10 +226,8 @@ def simulate(
         state = run_until(state, t_tick, cfg)
         state.t.block_until_ready()
         if verbose:
-            n = int(state.particles.n_alive)
-            print(f"[tick {i}] SPH particles: {n}  dt: {float(state.dt):.3e}"
-                  f"  time: {float(state.t):.6g}  wall: {time.time()-t0:.2f}s",
-                  flush=True)
+            print(f"[tick {i}] {format_report(measure(state))} "
+                  f"wall: {time.time()-t0:.2f}s", flush=True)
         if out_dir:
             write_snapshot_txt(save_path(out_dir, i), state.particles,
                                state.sinks, columns=snapshot_columns)

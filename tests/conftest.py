@@ -21,6 +21,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+from summersph_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 # Double precision for validation math (engine defaults to f32; tests that
 # pass float64 inputs get float64 compute on CPU).
 jax.config.update("jax_enable_x64", True)

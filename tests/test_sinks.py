@@ -1,0 +1,89 @@
+"""Sink lifecycle: accretion conservation, creation, bounds culling."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from summersph_tpu.config import SimConfig
+from summersph_tpu.ops.sinks import accrete, create_sinks, cull_bounds
+from summersph_tpu.state import Particles, Sinks
+
+
+def test_accretion_conserves_mass_and_momentum():
+    rng = np.random.default_rng(1)
+    n = 40
+    pos = rng.uniform(-20, 20, (n, 3))
+    pos[:10] = rng.uniform(-1.5, 1.5, (10, 3))  # 10 inside the sink radius
+    vel = rng.standard_normal((n, 3))
+    mass = rng.random(n) + 0.5
+    p = Particles.create(pos=pos, vel=vel, mass=mass, u=np.ones(n))
+    s = Sinks.create(pos=np.zeros((1, 3)), vel=[[0.5, 0, 0]], mass=[10.0],
+                     radius=[3.0], capacity=2)
+
+    m0 = float(jnp.sum(p.mass) + jnp.sum(jnp.where(s.alive, s.mass, 0.0)))
+    p0 = (np.asarray(p.mass)[:, None] * np.asarray(p.vel)).sum(0) + \
+        10.0 * np.array([0.5, 0, 0])
+
+    p2, s2 = accrete(p, s)
+    eaten = n - int(p2.n_alive)
+    assert eaten >= 10  # everything within r < 3
+
+    m1 = float(jnp.sum(jnp.where(p2.alive, p2.mass, 0.0))
+               + jnp.sum(jnp.where(s2.alive, s2.mass, 0.0)))
+    p1 = (np.asarray(jnp.where(p2.alive, p2.mass, 0.0))[:, None]
+          * np.asarray(p2.vel)).sum(0) + \
+        float(s2.mass[0]) * np.asarray(s2.vel)[0]
+    np.testing.assert_allclose(m1, m0, rtol=1e-5)
+    np.testing.assert_allclose(p1, p0, rtol=1e-4, atol=1e-4)
+    # accreted angular momentum tracked in spin (reference TODO S:509)
+    assert np.linalg.norm(np.asarray(s2.spin)[0]) > 0.0
+
+
+def test_nearest_sink_claims_particle():
+    # One gas particle inside TWO sinks' radii: only the nearest absorbs it
+    # (the reference double-counts here, SUMMER_SPH.f90:494-514).
+    p = Particles.create(pos=[[1.0, 0, 0]], vel=[[0, 0, 0]], mass=[2.0],
+                         u=[1.0])
+    s = Sinks.create(pos=[[0.0, 0, 0], [3.0, 0, 0]], vel=np.zeros((2, 3)),
+                     mass=[1.0, 1.0], radius=[5.0, 5.0])
+    p2, s2 = accrete(p, s)
+    assert int(p2.n_alive) == 0
+    assert float(s2.mass[0]) == pytest.approx(3.0)   # nearest (d=1 vs d=2)
+    assert float(s2.mass[1]) == pytest.approx(1.0)
+    total = float(jnp.sum(s2.mass))
+    assert total == pytest.approx(4.0)  # no double count
+
+
+def test_sink_creation_threshold_and_exclusion():
+    cfg = SimConfig(fixed_h=None, eta=1.2, sink_create_density=0.5,
+                    sink_capacity=4)
+    # particle 0: m (eta/h)^3 = 4*1.728 >> 0.5 -> eligible
+    p = Particles.create(pos=[[50.0, 0, 0], [0, 0, 0]], vel=np.zeros((2, 3)),
+                         mass=[4.0, 1e-6], u=[1, 1], h=[1.0, 1.0])
+    s = Sinks.zeros(4)
+    s2 = create_sinks(p, s, cfg)
+    assert int(s2.n_alive) == 1
+    np.testing.assert_allclose(np.asarray(s2.pos)[0], [50.0, 0, 0])
+    assert float(s2.radius[0]) == pytest.approx(2.0)  # 2h, V:582
+
+    # re-run: the new sink's exclusion zone (radius + 2h) suppresses creation
+    s3 = create_sinks(p, s2, cfg)
+    assert int(s3.n_alive) == 1
+
+    # no free slots -> no creation
+    s_full = Sinks.create(pos=np.zeros((1, 3)), vel=np.zeros((1, 3)),
+                          mass=[1.0], radius=[0.1], capacity=1)
+    s4 = create_sinks(p.replace(pos=p.pos + 500.0), s_full, cfg)
+    assert int(s4.n_alive) == 1
+
+
+def test_bounds_culling():
+    cfg = SimConfig(bounding_size=100.0)
+    p = Particles.create(pos=[[0, 0, 0], [150.0, 0, 0], [0, -120.0, 0]],
+                         vel=np.zeros((3, 3)), mass=[1, 1, 1], u=[1, 1, 1])
+    s = Sinks.create(pos=[[0, 0, 0], [0, 0, 999.0]], vel=np.zeros((2, 3)),
+                     mass=[1.0, 1.0], radius=[1, 1])
+    p2, s2 = cull_bounds(p, s, cfg)
+    assert int(p2.n_alive) == 1
+    assert int(s2.n_alive) == 1  # V generation culls sinks too (V:599-614)
+    assert float(jnp.sum(jnp.where(p2.alive, p2.mass, 0.0))) == 1.0
