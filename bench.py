@@ -36,8 +36,11 @@ def main():
     # Keplerian disc around a central sink (graded config 3).  h chosen so
     # the kernel support holds ~60 neighbours at this N within r<100 AU.
     h0 = 100.0 * (60.0 / n) ** (1.0 / 3.0) / 2.0
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     cfg = SimConfig(
         fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
+        use_pallas=use_pallas, sorted_block=128 if use_pallas else 64,
+        pallas_window=768, window_blocks=5,
         gamma=1.4, bounding_size=1500.0,
         dt_init=1e-4, dt_min=1e-5, dt_max=1e-3,
     )

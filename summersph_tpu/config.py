@@ -84,7 +84,9 @@ class SimConfig:
     neighbor_mode: str = "grid"
     cell_cap: int = 64                  # 'grid': max particles per hashed cell
     sorted_block: int = 64              # 'sorted': rows per window group
-    window_blocks: int = 3              # 'sorted': 128-wide blocks per window
+    window_blocks: int = 5              # 'sorted': 128-wide blocks per window
+    use_pallas: bool = False            # 'sorted': Pallas pair kernels
+    pallas_window: int = 768            # Pallas: exact window size (particles)
 
     # --- h-iteration (variable-h mode)
     h_iter_max: int = 3                 # fixed Newton iteration count (masked convergence)

@@ -104,9 +104,15 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
 
     cap0 = p.capacity
     p2, sgrid = sort_particles(p, cfg)
-    p2 = sorted_density(p2, cfg, sgrid)
-    p2 = eos_update(p2, cfg)
-    acc, du, dalpha = sorted_forces(p2, cfg, sgrid)
+    if cfg.use_pallas:
+        from .ops.pallas_pairs import pallas_density, pallas_forces
+        p2 = pallas_density(p2, cfg, sgrid)
+        p2 = eos_update(p2, cfg)
+        acc, du, dalpha = pallas_forces(p2, cfg, sgrid)
+    else:
+        p2 = sorted_density(p2, cfg, sgrid)
+        p2 = eos_update(p2, cfg)
+        acc, du, dalpha = sorted_forces(p2, cfg, sgrid)
 
     if cfg.gravity == "direct":
         acc = acc + gas_gravity_direct(p2, cfg)
@@ -186,6 +192,36 @@ def run_steps(state: SimState, cfg: SimConfig, n_steps: int) -> SimState:
                         None, length=n_steps)[0]
 
 
+def check_coverage(state: SimState, cfg: SimConfig, warn: bool = True) -> int:
+    """Count neighbour candidates the static window sizes would drop.
+
+    The sorted engine's windows are static shapes (cfg.window_blocks /
+    cfg.pallas_window); a configuration too tight for the density contrast
+    silently misses pairs.  Returns the dropped-candidate count for the
+    *current* particle distribution (0 = exact coverage) and optionally
+    prints a loud warning.  `simulate` runs this once at start; re-check
+    after strong density evolution.
+    """
+    if cfg.neighbor_mode != "sorted":
+        return 0
+    from .ops.pallas_pairs import window_overflow
+    from .ops.sorted_grid import LANES, sort_particles
+
+    _, grid = sort_particles(state.particles, cfg)
+    if cfg.use_pallas:
+        dropped = int(window_overflow(grid, cfg.pallas_window))
+        knob = "cfg.pallas_window"
+    else:
+        reach = (grid.starts // LANES) * LANES + cfg.window_blocks * LANES
+        import jax.numpy as _jnp
+        dropped = int(_jnp.sum(_jnp.maximum(grid.ends - reach, 0)))
+        knob = "cfg.window_blocks"
+    if dropped and warn:
+        print(f"WARNING: neighbour windows drop {dropped} candidates for the "
+              f"current particle distribution — raise {knob}", flush=True)
+    return dropped
+
+
 def run_until(state: SimState, t_stop, cfg: SimConfig,
               max_steps: int = 1_000_000, steps_per_sync: int = 8) -> SimState:
     """Advance until t >= t_stop.
@@ -217,6 +253,7 @@ def simulate(
 
     from .diagnostics import format_report, measure
 
+    check_coverage(state, cfg, warn=True)
     ticks = [cfg.end_time * (i + 1) / cfg.n_saves for i in range(cfg.n_saves)]
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -1,0 +1,385 @@
+"""Pallas TPU kernels for the SPH pair passes (density + forces).
+
+Same sorted-window neighbour structure as ops.sorted_grid, but the candidate
+windows are fetched by explicit DMA at their *exact* (unaligned) extents:
+the XLA path must round windows to 128-aligned block rows (slice-gather fast
+path), padding every row's candidate set to >= 2304 lanes; the Pallas kernel
+DMAs [fields, W] windows at arbitrary starts, so W only has to cover
+`rows_per_program + 2 x occupancy` — typically 3-4x fewer wasted VPU lanes.
+
+Data layout: pair fields are packed [F, N] (field-major, particle minor) in
+sorted order, so each stencil window is one 2-D strided DMA.  The int32 cell
+key rides in an f32 lane via bitcast.  Per grid program:
+
+  * scalar-prefetched window starts [G, 9] (from the same searchsorted
+    machinery as the XLA path),
+  * 9 async copies HBM -> VMEM scratch [9, F, W] (issued together, waited
+    per offset),
+  * the program's own B rows arrive as a pipelined BlockSpec block [F, B],
+  * per offset: [B, W] pair math with the exact per-row key-range mask
+    (ops.sorted_grid disjointness argument), accumulated into [B] outputs.
+
+Correctness contract: candidates beyond W are *dropped*; the caller checks
+`window_overflow(grid, W)` == 0 (tests assert it) and can raise W via
+`cfg.pallas_window`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+from ..state import Particles
+from . import pairs
+from .kernels import dw_shape, w_shape
+from .sorted_grid import LANES, PLANE_OFFSETS, SortedGrid
+from ..utils.units import PI
+
+# Packed field indices (density uses the first DF, forces all FF).
+_IX, _IY, _IZ, _IM, _IH, _IKEY = 0, 1, 2, 3, 4, 5
+DF = 8  # density pack: x y z m h key pad pad
+_IVX, _IVY, _IVZ, _IP, _IRHO, _IOM, _ICS, _IAL = 6, 7, 8, 9, 10, 11, 12, 13
+FF = 16  # force pack: x y z m h key vx vy vz P rho om cs al pad pad
+
+
+def _pack(p: Particles, grid: SortedGrid, n_fields: int) -> jax.Array:
+    """[F, N] field-major pack of the sorted particle fields."""
+    key_f = jax.lax.bitcast_convert_type(grid.key, jnp.float32)
+    cols = [p.pos[:, 0], p.pos[:, 1], p.pos[:, 2],
+            jnp.where(p.alive, p.mass, 0.0), p.h, key_f]
+    if n_fields == FF:
+        cols += [p.vel[:, 0], p.vel[:, 1], p.vel[:, 2],
+                 p.pressure, p.rho, p.omega, p.cs, p.alpha]
+    while len(cols) < n_fields:
+        cols.append(jnp.zeros_like(cols[0]))
+    return jnp.stack(cols, axis=0)
+
+
+def window_starts(grid: SortedGrid, rows_per_program: int, window: int):
+    """[G, 9] DMA-aligned, clamped window starts.
+
+    Mosaic requires dynamic slice offsets on the minor (lane) dimension to
+    be 128-divisible, so starts are rounded down to LANES; `window` must
+    absorb the alignment slop (<= 127) on top of rows + 2 x occupancy.
+    grid.starts/ends are per sorted_block group, so rows_per_program must
+    equal cfg.sorted_block.
+    """
+    n = grid.key.shape[0]
+    starts = (grid.starts // LANES) * LANES
+    return jnp.minimum(starts, jnp.maximum(n - window, 0))
+
+
+def window_overflow(grid: SortedGrid, window: int) -> jax.Array:
+    """Candidates beyond the static window size (must be 0 for exactness)."""
+    aligned = (grid.starts // LANES) * LANES
+    return jnp.sum(jnp.maximum(grid.ends - aligned - window, 0))
+
+
+def _issue_window_dmas(starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems,
+                       prog, slot, window: int, b: int):
+    """Start the rows + 9 stencil-window copies for `prog` into `slot`."""
+    pltpu.make_async_copy(
+        cols_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
+        rows_scr.at[slot], rsems.at[slot]).start()
+    for o in range(9):
+        s = pl.multiple_of(starts_ref[prog, o], 128)
+        pltpu.make_async_copy(
+            cols_hbm.at[:, pl.ds(s, window)], win_scr.at[slot, o],
+            wsems.at[slot, o]).start()
+
+
+def _wait_window_dmas(starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems,
+                      prog, slot, window: int, b: int):
+    pltpu.make_async_copy(
+        cols_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
+        rows_scr.at[slot], rsems.at[slot]).wait()
+    for o in range(9):
+        s = pl.multiple_of(starts_ref[prog, o], 128)
+        pltpu.make_async_copy(
+            cols_hbm.at[:, pl.ds(s, window)], win_scr.at[slot, o],
+            wsems.at[slot, o]).wait()
+
+
+def _density_kernel(starts_ref, cols_hbm, out_hbm,
+                    rows_scr, win_scr, out_vmem, rsems, wsems, osem,
+                    *, window: int, b: int):
+    # Double-buffered across grid programs: program i issues i+1's DMAs
+    # before computing on i's slot, hiding the (9k-copy) DMA latency.
+    i = pl.program_id(0)
+    ng = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nslot = jax.lax.rem(i + 1, jnp.int32(2))
+    args = (starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems)
+
+    @pl.when(i == 0)
+    def _():
+        _issue_window_dmas(*args, 0, 0, window=window, b=b)
+
+    @pl.when(i + 1 < ng)
+    def _():
+        _issue_window_dmas(*args, i + 1, nslot, window=window, b=b)
+
+    _wait_window_dmas(*args, i, slot, window=window, b=b)
+    rows_ref = rows_scr.at[slot]
+    scratch = win_scr.at[slot]
+
+    xi = rows_ref[_IX, :]
+    yi = rows_ref[_IY, :]
+    zi = rows_ref[_IZ, :]
+    hi = rows_ref[_IH, :]
+    ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, :], jnp.int32)
+
+    b = xi.shape[0]
+    rho = jnp.zeros((b,), jnp.float32)
+    om = jnp.zeros((b,), jnp.float32)
+    inv_pi_h3 = 1.0 / (PI * hi * hi * hi)
+
+    for o in range(9):
+        xw = scratch[o, _IX, :]
+        yw = scratch[o, _IY, :]
+        zw = scratch[o, _IZ, :]
+        mw = scratch[o, _IM, :]
+        kw = jax.lax.bitcast_convert_type(scratch[o, _IKEY, :], jnp.int32)
+
+        mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
+                & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+        dxx = xi[:, None] - xw[None, :]
+        dxy = yi[:, None] - yw[None, :]
+        dxz = zi[:, None] - zw[None, :]
+        r = jnp.sqrt(dxx * dxx + dxy * dxy + dxz * dxz)
+        q = r / hi[:, None]
+        w = w_shape(q)
+        # dW/dh = -(3 W + r dW/dr)/h; dW/dr = dw_shape/(pi h^4)
+        dwdh_shape = -(3.0 * w + q * dw_shape(q))
+        m = jnp.where(mask, mw[None, :], 0.0)
+        rho = rho + jnp.sum(m * w, axis=1) * inv_pi_h3
+        om = om + jnp.sum(m * dwdh_shape, axis=1) * inv_pi_h3 / hi
+
+    out_vmem[0, :] = rho
+    out_vmem[1, :] = om
+    for _pad_row in range(2, 8):
+        out_vmem[_pad_row, :] = jnp.zeros_like(rho)
+    ocopy = pltpu.make_async_copy(
+        out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
+    ocopy.start()
+    ocopy.wait()
+
+
+def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
+                        interpret: bool = False):
+    """(rho, omega_raw) for the sorted particles via the Pallas kernel."""
+    n = p.capacity
+    B = cfg.sorted_block
+    W = min(cfg.pallas_window, n)  # window cannot exceed the array
+    G = n // B
+    packed = _pack(p, grid, DF)
+    starts = window_starts(grid, B, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, DF, B), jnp.float32),
+            pltpu.VMEM((2, 9, DF, W), jnp.float32),
+            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_density_kernel, window=W, b=B),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, packed)
+    return out[0], out[1]
+
+
+def _force_kernel(starts_ref, cols_hbm, out_hbm,
+                  rows_scr, win_scr, out_vmem, rsems, wsems, osem, *,
+                  window: int, b: int, av_eps: float, beta_factor: float):
+    i = pl.program_id(0)
+    ng = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nslot = jax.lax.rem(i + 1, jnp.int32(2))
+    args = (starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems)
+
+    @pl.when(i == 0)
+    def _():
+        _issue_window_dmas(*args, 0, 0, window=window, b=b)
+
+    @pl.when(i + 1 < ng)
+    def _():
+        _issue_window_dmas(*args, i + 1, nslot, window=window, b=b)
+
+    _wait_window_dmas(*args, i, slot, window=window, b=b)
+    rows_ref = rows_scr.at[slot]
+    scratch = win_scr.at[slot]
+
+    def row(idx):
+        return rows_ref[idx, :]
+
+    xi, yi, zi = row(_IX), row(_IY), row(_IZ)
+    vxi, vyi, vzi = row(_IVX), row(_IVY), row(_IVZ)
+    hi, pi_, rhoi = row(_IH), row(_IP), row(_IRHO)
+    omi, csi, ali = row(_IOM), row(_ICS), row(_IAL)
+    ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, :], jnp.int32)
+
+    b = xi.shape[0]
+    ax = jnp.zeros((b,), jnp.float32)
+    ay = jnp.zeros((b,), jnp.float32)
+    az = jnp.zeros((b,), jnp.float32)
+    du = jnp.zeros((b,), jnp.float32)
+    ar = jnp.zeros((b,), jnp.float32)
+
+    pterm_i = pi_ / (omi * rhoi * rhoi)
+    inv_pi_hi4 = 1.0 / (PI * hi * hi * hi * hi)
+
+    for o in range(9):
+        def col(idx, _o=o):
+            return scratch[_o, idx, :]
+
+        xw, yw, zw = col(_IX), col(_IY), col(_IZ)
+        mw, hw = col(_IM), col(_IH)
+        vxw, vyw, vzw = col(_IVX), col(_IVY), col(_IVZ)
+        pw, rhow, omw = col(_IP), col(_IRHO), col(_IOM)
+        csw, alw = col(_ICS), col(_IAL)
+        kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
+
+        mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
+                & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+
+        dxx = xi[:, None] - xw[None, :]
+        dxy = yi[:, None] - yw[None, :]
+        dxz = zi[:, None] - zw[None, :]
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        r = jnp.sqrt(r2)
+        valid = mask & (r > 0.0)
+        inv_r = jnp.where(valid, 1.0 / jnp.where(valid, r, 1.0), 0.0)
+
+        dw_i = dw_shape(r * (1.0 / hi)[:, None]) * inv_pi_hi4[:, None]
+        hw4 = hw * hw * hw * hw
+        dw_j = dw_shape(r / hw[None, :]) / (PI * hw4)[None, :]
+        dwbar = 0.5 * (dw_i + dw_j)
+
+        vx = vxi[:, None] - vxw[None, :]
+        vy = vyi[:, None] - vyw[None, :]
+        vz = vzi[:, None] - vzw[None, :]
+        vdotr = vx * dxx + vy * dxy + vz * dxz
+        vdotr_neg = jnp.minimum(vdotr, 0.0)
+
+        hbar = 0.5 * (hi[:, None] + hw[None, :])
+        mu = hbar * vdotr_neg / (r2 + av_eps * hbar * hbar)
+        cbar = 0.5 * (csi[:, None] + csw[None, :])
+        abar = 0.5 * (ali[:, None] + alw[None, :])
+        rhobar = 0.5 * (rhoi[:, None] + rhow[None, :])
+        visc = jnp.where(
+            valid & (rhobar > 0.0),
+            (-abar * cbar * mu + beta_factor * abar * mu * mu)
+            / jnp.where(rhobar > 0.0, rhobar, 1.0),
+            0.0)
+
+        denom_j = omw * rhow * rhow
+        pterm_j = jnp.where(denom_j[None, :] != 0.0,
+                            pw[None, :] / jnp.where(denom_j != 0.0, denom_j,
+                                                    1.0)[None, :],
+                            0.0)
+
+        m = jnp.where(valid, mw[None, :], 0.0)
+        scal = pterm_i[:, None] * dw_i + pterm_j * dw_j + visc * dwbar
+        coef = -m * scal * inv_r
+        ax = ax + jnp.sum(coef * dxx, axis=1)
+        ay = ay + jnp.sum(coef * dxy, axis=1)
+        az = az + jnp.sum(coef * dxz, axis=1)
+
+        vdotgradw = vdotr * inv_r * dwbar
+        du = du + jnp.sum(m * vdotgradw * (pterm_i[:, None] + 0.5 * visc),
+                          axis=1)
+        ar = ar + jnp.sum(m * vdotgradw, axis=1)
+
+    out_vmem[0, :] = ax
+    out_vmem[1, :] = ay
+    out_vmem[2, :] = az
+    out_vmem[3, :] = du
+    out_vmem[4, :] = ar
+    for _pad_row in range(5, 8):
+        out_vmem[_pad_row, :] = jnp.zeros_like(ax)
+    ocopy = pltpu.make_async_copy(
+        out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
+    ocopy.start()
+    ocopy.wait()
+
+
+def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
+                      interpret: bool = False):
+    """(ax, ay, az, du, alpha_raw) for the sorted particles."""
+    n = p.capacity
+    B = cfg.sorted_block
+    W = min(cfg.pallas_window, n)  # window cannot exceed the array
+    G = n // B
+    packed = _pack(p, grid, FF)
+    starts = window_starts(grid, B, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, FF, B), jnp.float32),
+            pltpu.VMEM((2, 9, FF, W), jnp.float32),
+            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_force_kernel, window=W, b=B, av_eps=cfg.av_eps,
+                          beta_factor=cfg.beta_factor),
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, packed)
+    return out[0], out[1], out[2], out[3], out[4]
+
+
+def pallas_density(p: Particles, cfg: SimConfig, grid: SortedGrid,
+                   interpret: bool = False) -> Particles:
+    """Drop-in for sorted_density on the Pallas path."""
+    rho, omega_raw = pallas_density_sums(p, cfg, grid, interpret=interpret)
+    rho, omega = pairs.finalize_density(rho, omega_raw, p.h, p.alive)
+    if cfg.fixed_h is not None:
+        omega = jnp.ones_like(omega)
+    return p.replace(rho=rho, omega=omega)
+
+
+def pallas_forces(p: Particles, cfg: SimConfig, grid: SortedGrid,
+                  interpret: bool = False):
+    """Drop-in for sorted_forces on the Pallas path."""
+    ax, ay, az, du, araw = pallas_force_sums(p, cfg, grid, interpret=interpret)
+    acc = jnp.stack([ax, ay, az], axis=-1)
+    dalpha = pairs.alpha_rate(araw, p.rho, p.alpha, p.cs, p.h, cfg)
+    alive = p.alive
+    return (jnp.where(alive[:, None], acc, 0.0),
+            jnp.where(alive, du, 0.0),
+            jnp.where(alive, dalpha, 0.0))
+
+
+__all__ = ["pallas_density", "pallas_forces", "pallas_density_sums",
+           "pallas_force_sums", "window_overflow"]
