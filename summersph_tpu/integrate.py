@@ -217,8 +217,12 @@ def check_coverage(state: SimState, cfg: SimConfig, warn: bool = True) -> int:
         dropped = int(_jnp.sum(_jnp.maximum(grid.ends - reach, 0)))
         knob = "cfg.window_blocks"
     if dropped and warn:
-        print(f"WARNING: neighbour windows drop {dropped} candidates for the "
-              f"current particle distribution — raise {knob}", flush=True)
+        n_alive = int(state.particles.n_alive)
+        approx_total = max(n_alive, 1) * 60  # ~candidate pairs at eta=1.2
+        print(f"WARNING: neighbour windows drop {dropped} candidates "
+              f"(~{dropped / approx_total:.2e} of all pairs, typically at the "
+              f"domain rim where SFC columns jump) — raise {knob} for exact "
+              f"coverage", flush=True)
     return dropped
 
 

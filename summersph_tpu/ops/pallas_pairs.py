@@ -88,7 +88,7 @@ def _issue_window_dmas(starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems,
         cols_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
         rows_scr.at[slot], rsems.at[slot]).start()
     for o in range(9):
-        s = pl.multiple_of(starts_ref[prog, o], 128)
+        s = pl.multiple_of(starts_ref[prog * 9 + o], 128)
         pltpu.make_async_copy(
             cols_hbm.at[:, pl.ds(s, window)], win_scr.at[slot, o],
             wsems.at[slot, o]).start()
@@ -100,7 +100,7 @@ def _wait_window_dmas(starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems,
         cols_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
         rows_scr.at[slot], rsems.at[slot]).wait()
     for o in range(9):
-        s = pl.multiple_of(starts_ref[prog, o], 128)
+        s = pl.multiple_of(starts_ref[prog * 9 + o], 128)
         pltpu.make_async_copy(
             cols_hbm.at[:, pl.ds(s, window)], win_scr.at[slot, o],
             wsems.at[slot, o]).wait()
@@ -179,7 +179,8 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     W = min(cfg.pallas_window, n)  # window cannot exceed the array
     G = n // B
     packed = _pack(p, grid, DF)
-    starts = window_starts(grid, B, W)
+    starts = window_starts(grid, B, W).reshape(-1)  # 1-D: SMEM pads the
+    # minor dim of 2-D scalar operands to 128 lanes (4 MB at 1e6 particles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -330,7 +331,7 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     W = min(cfg.pallas_window, n)  # window cannot exceed the array
     G = n // B
     packed = _pack(p, grid, FF)
-    starts = window_starts(grid, B, W)
+    starts = window_starts(grid, B, W).reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
