@@ -1,0 +1,40 @@
+"""Variable smoothing length: Newton iteration converges to
+h = eta (m/rho)^(1/3) (component C11)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from summersph_tpu.config import SimConfig
+from summersph_tpu.ops.smoothing import update_smoothing
+from test_density_forces import lattice_particles
+
+
+def test_h_converges_to_eta_scaling():
+    spacing = 1.0
+    p = lattice_particles(nside=8, spacing=spacing, h=1.0, jitter=0.05)
+    p = p.replace(mass=jnp.full((p.capacity,), 1.0))  # rho ~ 1/spacing^3 = 1
+    cfg = SimConfig(fixed_h=None, eta=1.2, convergence_criteria=1e-4,
+                    h_iter_max=6, max_length=10.0, neighbor_mode="grid",
+                    cell_cap=96)
+    # start h off-target
+    p = p.replace(h=jnp.full_like(p.h, 1.6))
+    p2 = update_smoothing(p, cfg)
+    h = np.asarray(p2.h)
+    rho = np.asarray(p2.rho)
+    m = np.asarray(p2.mass)
+    # fixed point: h = eta (m/rho)^(1/3), checked per particle
+    target = cfg.eta * (m / rho) ** (1.0 / 3.0)
+    # interior particles (away from lattice edges) converge tightly
+    rel = np.abs(h - target) / target
+    assert np.median(rel) < 0.01
+    assert np.mean(rel < 0.05) > 0.9
+
+
+def test_h_respects_bounds():
+    p = lattice_particles(nside=4, spacing=1.0, h=1.0, jitter=0.0)
+    cfg = SimConfig(fixed_h=None, eta=1.2, max_length=1.05, h_iter_max=4,
+                    neighbor_mode="grid")
+    p2 = update_smoothing(p, cfg)
+    h = np.asarray(p2.h)[np.asarray(p2.alive)]
+    assert (h >= 0.01).all()
+    assert np.isfinite(h).all()
