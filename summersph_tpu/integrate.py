@@ -69,8 +69,11 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
         return _force_eval_sorted(p, s, cfg)
 
     cols0 = _gather(p, axis_name) if axis_name else None
+    # Sharded runs use the hashed cell grid as the neighbour structure even
+    # in 'sorted' configs (sharding the sorted order across devices — SFC
+    # domain decomposition — is future work); 'dense' stays dense.
     grid = (build_grid(cols0 if cols0 is not None else p, cfg)
-            if cfg.neighbor_mode == "grid" else None)
+            if cfg.neighbor_mode in ("grid", "sorted") else None)
     p = compute_density(p, cfg, grid, cols=cols0)
     p = eos_update(p, cfg)
 

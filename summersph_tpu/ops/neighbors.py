@@ -41,7 +41,7 @@ from ..state import Particles
 
 WINDOW_BITS = 10
 WINDOW = 1 << WINDOW_BITS                      # 1024 cells per axis
-SENTINEL_KEY = jnp.int32(1 << 30)              # dead / invalid
+SENTINEL_KEY = 1 << 30                         # dead / invalid (int32 range)
 
 # 3x3x3 stencil offsets, a Python-level constant (unrolled in traced code).
 STENCIL = [(ox, oy, oz)

@@ -38,3 +38,24 @@ def test_h_respects_bounds():
     h = np.asarray(p2.h)[np.asarray(p2.alive)]
     assert (h >= 0.01).all()
     assert np.isfinite(h).all()
+
+
+def test_h_iteration_sorted_engine_matches_grid():
+    import jax.numpy as jnp
+    p = lattice_particles(nside=6, spacing=1.0, h=1.0, jitter=0.05)
+    p = p.replace(mass=jnp.full((p.capacity,), 1.0),
+                  h=jnp.full_like(p.h, 1.5))
+    base = SimConfig(fixed_h=None, eta=1.2, convergence_criteria=1e-4,
+                     h_iter_max=5, max_length=10.0, cell_cap=96)
+    pg = update_smoothing(p, base.with_(neighbor_mode="grid"))
+    ps = update_smoothing(p, base.with_(neighbor_mode="sorted",
+                                        sorted_block=64, window_blocks=5))
+    # compare by pid (sorted path permutes)
+    order_g = np.argsort(np.asarray(pg.pid))
+    order_s = np.argsort(np.asarray(ps.pid))
+    np.testing.assert_allclose(np.asarray(ps.h)[order_s][:p.capacity],
+                               np.asarray(pg.h)[order_g][:p.capacity],
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ps.rho)[order_s][:p.capacity],
+                               np.asarray(pg.rho)[order_g][:p.capacity],
+                               rtol=1e-3)
