@@ -27,7 +27,6 @@ Correctness contract: candidates beyond W are *dropped*; the caller checks
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

