@@ -107,6 +107,10 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
 
     cap0 = p.capacity
     p2, sgrid = sort_particles(p, cfg)
+    if cfg.use_pallas and p.pos.dtype != jnp.float32:
+        raise ValueError(
+            "use_pallas requires float32 state (the Pallas pair kernels are "
+            "f32); use the XLA sorted engine for float64 validation runs")
     if cfg.use_pallas:
         from .ops.pallas_pairs import pallas_density, pallas_forces
         p2 = pallas_density(p2, cfg, sgrid)
