@@ -47,14 +47,21 @@ def main():
     state, _ = disc_ic(n=n, r_max=100.0, m_star=5.0, h0=h0,
                        rotation="keplerian", cfg=cfg, seed=0)
 
+    import numpy as np
+
+    def sync(st):
+        # block_until_ready can return without syncing on the tunneled
+        # backend (docs/PERF_NOTES.md caveat 1): force a host transfer.
+        return float(np.asarray(st.t))
+
     # Warm up with the same scan length (scan length is a static shape —
     # a different warmup length would leave the compile inside the timing).
     wu = run_steps(state, cfg, steps)
-    wu.t.block_until_ready()
+    sync(wu)
 
     t0 = time.perf_counter()
     out = run_steps(wu, cfg, steps)
-    out.t.block_until_ready()
+    sync(out)
     dt_wall = time.perf_counter() - t0
 
     alive = int(out.particles.n_alive)
