@@ -270,6 +270,8 @@ def simulate(
         os.makedirs(out_dir, exist_ok=True)
 
     for i, t_tick in enumerate(ticks):
+        if float(state.t) >= t_tick and i < len(ticks) - 1:
+            continue  # a previous segment overshot past this tick already
         t0 = time.time()
         state = run_until(state, t_tick, cfg)
         state.t.block_until_ready()
