@@ -30,7 +30,7 @@ def main():
     except Exception:
         pass
     from summersph_tpu.config import SimConfig
-    from summersph_tpu.integrate import run_steps
+    from summersph_tpu.integrate import prime, run_steps
     from summersph_tpu.models.disc import disc_ic
 
     # Keplerian disc around a central sink (graded config 3).  h chosen so
@@ -54,8 +54,10 @@ def main():
         # backend (docs/PERF_NOTES.md caveat 1): force a host transfer.
         return float(np.asarray(st.t))
 
-    # Warm up with the same scan length (scan length is a static shape —
-    # a different warmup length would leave the compile inside the timing).
+    # Prime the carried-rate KDK (one force evaluation at x_0), then warm up
+    # with the same scan length (scan length is a static shape — a different
+    # warmup length would leave the compile inside the timing).
+    state = prime(state, cfg)
     wu = run_steps(state, cfg, steps)
     sync(wu)
 

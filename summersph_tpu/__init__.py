@@ -10,12 +10,12 @@ See SURVEY.md for the component map and reference citations.
 
 from .config import SimConfig, read_parameters_txt, write_parameters_txt
 from .state import Particles, SimState, Sinks
-from .integrate import force_eval, run_until, simulate, step
+from .integrate import force_eval, prime, run_until, simulate, step
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SimConfig", "read_parameters_txt", "write_parameters_txt",
     "Particles", "Sinks", "SimState",
-    "force_eval", "step", "run_until", "simulate",
+    "force_eval", "prime", "step", "run_until", "simulate",
 ]

@@ -40,11 +40,13 @@ def _add_config_flags(ap):
                     help="override any SimConfig field")
 
 
-def _build_config(args):
+def _build_config(args, base=None):
     from .config import SimConfig, read_parameters_txt
 
     if args.params:
-        cfg = read_parameters_txt(args.params)
+        cfg = read_parameters_txt(args.params, base=base)
+    elif base is not None:
+        cfg = base
     else:
         cfg = SimConfig()
     if args.variable_h:
@@ -88,21 +90,27 @@ def cmd_run(args):
           f"gravity={cfg.gravity} -> {out}", flush=True)
     state = simulate(state, cfg, out_dir=out,
                      snapshot_columns=9 if cfg.fixed_h is not None else 10)
-    save_npz(os.path.join(out, "checkpoint.npz"), state)
+    save_npz(os.path.join(out, "checkpoint.npz"), state, cfg)
     return 0
 
 
 def cmd_resume(args):
     from .integrate import simulate
-    from .io.checkpoint import load_npz, save_npz
+    from .io.checkpoint import load_npz_with_config, save_npz
 
-    cfg = _build_config(args)
-    state = load_npz(args.checkpoint)
+    state, saved_cfg = load_npz_with_config(args.checkpoint)
+    # The checkpoint's own config is the base physics; flags are overrides
+    # (resuming a --variable-h --gravity pm run without re-passing every
+    # flag must not silently continue with different physics).
+    cfg = _build_config(args, base=saved_cfg)
+    if args.variable_h is False and args.fixed_h is None and saved_cfg is None:
+        print("note: checkpoint carries no config (pre-r2 format); pass the "
+              "original flags explicitly", flush=True)
     out = args.out or os.path.dirname(args.checkpoint) or "."
     print(f"summersph-tpu: resume t={float(state.t):.6g} -> {out}", flush=True)
     state = simulate(state, cfg, out_dir=out,
                      snapshot_columns=9 if cfg.fixed_h is not None else 10)
-    save_npz(os.path.join(out, "checkpoint.npz"), state)
+    save_npz(os.path.join(out, "checkpoint.npz"), state, cfg)
     return 0
 
 

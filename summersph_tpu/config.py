@@ -65,17 +65,27 @@ class SimConfig:
     sink_create_mass: float = 1.0e-11   # seed mass of a created sink, V:581
 
     # --- gravity
-    # 'none'    : no self-gravity (Sod tube / ring configs)
-    # 'direct'  : chunked all-pairs softened gravity (exact)
-    # 'bh'/'pm' : FFT particle-mesh + short-range correction (TreePM split) —
-    #             the O(N log N) replacement for the reference's theta=0.5
-    #             Barnes-Hut monopole walk, with comparable (~1%) force error
+    # 'none'   : no self-gravity (Sod tube / ring configs)
+    # 'direct' : chunked all-pairs softened gravity (exact oracle)
+    # 'pm'     : FFT particle-mesh + short-range correction (TreePM split) —
+    #            the O(N log N) replacement for the reference's theta=0.5
+    #            Barnes-Hut monopole walk, with comparable (~1%) force error.
+    # 'bh'     : accepted as a reference-compat *alias* of 'pm' (there is no
+    #            recursive tree walk in this engine); `theta` maps onto the
+    #            PM split accuracy — see `effective_rcut_rs`.
     gravity: str = "none"
     grav_chunk: int = 1024              # pairwise chunk size for 'direct'
     grav_grid: int = 128                # PM mesh cells per axis (pre-padding)
     grav_split_rs: float = 1.5          # Gaussian split scale, in mesh cells
-    grav_rcut_rs: float = 5.0           # short-range cutoff, in units of r_s
+    # short-range cutoff in units of r_s; None derives it from `theta` via
+    # effective_rcut_rs() so the reference's one gravity-accuracy knob
+    # (parameters.txt theta, SUMMER_SPH.f90:825) controls PM accuracy too
+    grav_rcut_rs: Optional[float] = None
     grav_window_blocks: int = 3         # window blocks for the gravity sort
+    # long-range force gradient: 'fd' = single potential FFT + 4th-order
+    # finite differences (2 big FFTs/solve); 'spectral' = exact F(k) = -ik phi
+    # (4 big FFTs/solve, ~2x slower, slightly tighter mid-k accuracy)
+    grav_gradient: str = "fd"
 
     # --- neighbour search
     # 'sorted' : SFC-sorted window engine (production path, ops.sorted_grid)
@@ -90,6 +100,19 @@ class SimConfig:
 
     # --- h-iteration (variable-h mode)
     h_iter_max: int = 3                 # fixed Newton iteration count (masked convergence)
+    # cell-size headroom of the per-step sort in variable-h mode: h may grow
+    # up to (sort_h_pad * h_max) during the step's Newton update while the
+    # step's one shared neighbour structure stays exact
+    sort_h_pad: float = 1.2
+
+    # --- integrator
+    # One force evaluation per KDK step: the reference recomputes forces at
+    # the start of each step (SUMMER_SPH.f90:895-898) at the *same positions*
+    # as the previous step's post-drift evaluation; carrying acc/du/dalpha
+    # across steps halves the work (the standard production-SPH KDK form).
+    # The carried forces predate the step epilogue (h update, accretion) by
+    # one half-kick — set False to recompute both evals like the reference.
+    reuse_forces: bool = True
 
     # --- numerics
     dtype: str = "float32"              # 'float32' | 'float64'
@@ -100,6 +123,21 @@ class SimConfig:
 
     def with_(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
+
+    def effective_rcut_rs(self) -> float:
+        """Short-range cutoff (units of r_s), derived from `theta` if unset.
+
+        The PM tail-truncation error scales ~exp(-rcut^2 / 4 r_s^2); mapping
+        theta -> rcut_rs = clip(2.25/theta, 3, 8) makes the reference's
+        opening-angle knob a monotone accuracy control with theta=0.5 (the
+        reference's hardcoded call-site value, SUMMER_SPH.f90:825) giving
+        rcut_rs=4.5 — roughly the reference walk's ~1% force-error class.
+        Validated in tests/test_gravity.py::test_theta_controls_pm_accuracy.
+        """
+        if self.grav_rcut_rs is not None:
+            return float(self.grav_rcut_rs)
+        t = max(float(self.theta), 1.0e-3)
+        return min(max(2.25 / t, 3.0), 8.0)
 
 
 _PARAM_FIELDS = (

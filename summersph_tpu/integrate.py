@@ -1,26 +1,40 @@
 """KDK leapfrog integrator and simulation driver.
 
-Step skeleton mirrors the reference's `simulate` loop exactly
+Step skeleton follows the reference's `simulate` loop
 (SUMMER_SPH.f90:863-930, variable-h "SUMMER_SPH - Variable.f90":1076-1164):
 
-    [tree] -> density -> EOS -> forces -> kick(dt/2)
-    drift(dt)
-    [tree] -> density -> EOS -> forces -> kick(dt/2)
+    kick(dt/2) ; drift(dt)
+    [sort] -> density -> EOS -> forces      (one evaluation per step)
+    kick(dt/2)
     t += dt ; dt hysteresis update
     (variable-h: h Newton iteration ; sink creation)
     sink accretion ; bounds cull
 
-but the whole step is one jitted, shape-static function `step(state) ->
-state`, and `run_until` advances it in jitted `lax.scan` segments so the
-simulation stays on device between snapshot ticks (the reference rebuilds
-its tree and returns to the host every step).  The "tree" build is the hashed cell grid
-(ops.neighbors) when `cfg.neighbor_mode == 'grid'`, or nothing for the dense
-O(N^2) path.
+with one deliberate, documented restructure: the reference evaluates forces
+*twice* per step (SUMMER_SPH.f90:895-898 and :905-912), but its first
+evaluation happens at exactly the positions of the previous step's second
+one — so the engine carries acc/du/dalpha across steps and evaluates once
+(`cfg.reuse_forces`, the standard production-SPH KDK form; set False for the
+literal two-evaluation reference schedule).  The carried rates predate the
+step epilogue (h update, accretion, culling) by one half-kick; the error is
+O(dt * d(acc)/d(epilogue)) and is validated against the two-eval schedule in
+tests/test_integrate_reuse.py.
+
+The whole step is one jitted, shape-static function, and `run_until`
+advances it in jitted `lax.scan` segments so the simulation stays on device
+between snapshot ticks (the reference rebuilds its tree and returns to the
+host every step).  The neighbour structure is the SFC-sorted window engine
+(ops.sorted_grid — one sort per step, shared by the density, force and
+h-iteration passes), the hashed cell grid (ops.neighbors) when
+`cfg.neighbor_mode == 'grid'`, or nothing for the dense O(N^2) path.
 
 `simulate` is the user-facing driver: evenly spaced snapshot saves
 (n_saves ticks over end_time, SUMMER_SPH.f90:868-884) via the reference
 `.txt` format plus optional npz checkpoints, per-tick console diagnostics
-(the reference prints N/dt/t each step, SUMMER_SPH.f90:891).
+(the reference prints N/dt/t each step, SUMMER_SPH.f90:891), and per-tick
+neighbour/gravity window-coverage monitoring (state.stats) so a clustering
+run that outgrows the static windows warns loudly instead of silently
+dropping pairs.
 """
 
 from __future__ import annotations
@@ -57,7 +71,13 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     """density -> EOS -> (gravity + sink gravity + SPH) accelerations.
 
     Matches the reference's find_forces grouping (SUMMER_SPH.f90:818-829).
-    Returns (particles with rho/P/cs/acc/du/dalpha filled, sinks with acc).
+    Returns (particles with rho/P/cs/acc/du/dalpha filled, sinks with acc,
+    aux) where aux = (grid, grav_overflow): the sorted-window grid for reuse
+    by the h-iteration (None on the grid/dense paths) and the short-range
+    gravity window overflow counter (int32 0 when exact/absent).
+
+    Note: on the sorted path the returned particles are in sorted order and
+    may be *padded* beyond the caller's capacity — `step` slices back.
 
     Multi-chip (`axis_name` set, called inside shard_map): `p` is this
     device's shard, `s` is replicated.  Neighbour columns are the
@@ -81,36 +101,48 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     cols = _gather(p, axis_name) if axis_name else None
     acc, du, dalpha = compute_sph_forces(p, cfg, grid, cols=cols)
 
+    grav_over = jnp.zeros((), jnp.int32)
     if cfg.gravity == "direct":
         acc = acc + gas_gravity_direct(p, cfg, cols=cols)
     elif cfg.gravity in ("bh", "pm", "treepm"):
         from .ops.pm_gravity import gas_gravity_pm
-        acc = acc + gas_gravity_pm(p, cfg, cols=cols)
+        acc_pm, grav_over = gas_gravity_pm(p, cfg, cols=cols)
+        acc = acc + acc_pm
 
     acc_gas_sink, acc_sink = sink_gravity(p, s, axis_name=axis_name)
     acc = acc + acc_gas_sink
 
     p = p.replace(acc=acc, du=du, dalpha=dalpha)
     s = s.replace(acc=acc_sink)
-    return p, s
+    return p, s, (None, grav_over)
 
 
 def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
     """force_eval on the SFC-sorted window engine (ops.sorted_grid).
 
     Sorting permutes the particle arrays (identity tracked by `pid`); the
-    returned particle set is in sorted order, sliced back to the caller's
-    capacity (the sort pads with dead slots, which land at the end where the
-    slice drops them losslessly).
+    returned particle set is in sorted order at the sort's padded capacity
+    (dead pad slots at the end).  In variable-h mode the sort carries
+    `cfg.sort_h_pad` cell headroom so the same grid stays exact through the
+    step's h-iteration (update_smoothing reuses it via the aux return).
     """
     from .ops.sorted_grid import sort_particles, sorted_density, sorted_forces
 
-    cap0 = p.capacity
-    p2, sgrid = sort_particles(p, cfg)
-    if cfg.use_pallas and p.pos.dtype != jnp.float32:
-        raise ValueError(
-            "use_pallas requires float32 state (the Pallas pair kernels are "
-            "f32); use the XLA sorted engine for float64 validation runs")
+    if cfg.use_pallas:
+        if p.pos.dtype != jnp.float32:
+            raise ValueError(
+                "use_pallas requires float32 state (the Pallas pair kernels "
+                "are f32); use the XLA sorted engine for float64 validation "
+                "runs")
+        if cfg.sorted_block % 128 or cfg.pallas_window % 128:
+            raise ValueError(
+                f"use_pallas requires cfg.sorted_block ({cfg.sorted_block}) "
+                f"and cfg.pallas_window ({cfg.pallas_window}) to be "
+                f"multiples of 128: Mosaic dynamic DMA slice starts on the "
+                f"lane dimension must be 128-aligned")
+
+    h_pad = 1.0 if cfg.fixed_h is not None else cfg.sort_h_pad
+    p2, sgrid = sort_particles(p, cfg, h_pad=h_pad)
     if cfg.use_pallas:
         from .ops.pallas_pairs import pallas_density, pallas_forces
         p2 = pallas_density(p2, cfg, sgrid)
@@ -121,17 +153,17 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
         p2 = eos_update(p2, cfg)
         acc, du, dalpha = sorted_forces(p2, cfg, sgrid)
 
+    grav_over = jnp.zeros((), jnp.int32)
     if cfg.gravity == "direct":
         acc = acc + gas_gravity_direct(p2, cfg)
     elif cfg.gravity in ("bh", "pm", "treepm"):
         from .ops.pm_gravity import gas_gravity_pm
-        acc = acc + gas_gravity_pm(p2, cfg)
+        acc_pm, grav_over = gas_gravity_pm(p2, cfg)
+        acc = acc + acc_pm
 
     acc_gas_sink, acc_sink = sink_gravity(p2, s)
     p2 = p2.replace(acc=acc + acc_gas_sink, du=du, dalpha=dalpha)
-    if p2.capacity != cap0:
-        p2 = jax.tree_util.tree_map(lambda a: a[:cap0], p2)
-    return p2, s.replace(acc=acc_sink)
+    return p2, s.replace(acc=acc_sink), (sgrid, grav_over)
 
 
 def kick(p: Particles, s: Sinks, dt):
@@ -156,9 +188,30 @@ def drift(p: Particles, s: Sinks, dt):
     return p, s
 
 
+def _coverage_stats(cfg: SimConfig, grid, grav_over, n_unconverged):
+    """int32[len(STATS_FIELDS)] coverage counters for this step."""
+    zero = jnp.zeros((), jnp.int32)
+    if grid is None:
+        sph_over, clamped = zero, zero
+    elif cfg.use_pallas:
+        from .ops.pallas_pairs import window_overflow
+        sph_over = window_overflow(grid, cfg.pallas_window).astype(jnp.int32)
+        clamped = grid.n_clamped
+    else:
+        sph_over = grid.n_window_overflow
+        clamped = grid.n_clamped
+    return jnp.stack([sph_over, clamped,
+                      jnp.asarray(grav_over, jnp.int32),
+                      jnp.asarray(n_unconverged, jnp.int32)])
+
+
 def step(state: SimState, cfg: SimConfig,
          axis_name: str | None = None) -> SimState:
     """One full KDK step with all per-step physics. Jittable, shape-static.
+
+    Requires primed rates when `cfg.reuse_forces` (see `prime`): the first
+    half-kick consumes the acc/du/dalpha carried from the previous step's
+    evaluation.
 
     With `axis_name` (inside shard_map) the same code runs data-parallel:
     particle arrays are device shards, sinks/t/dt replicated; global
@@ -166,25 +219,60 @@ def step(state: SimState, cfg: SimConfig,
     through the named axis.
     """
     p, s, dt = state.particles, state.sinks, state.dt
+    cap0 = p.capacity
 
-    p, s = force_eval(p, s, cfg, axis_name)
-    p, s = kick(p, s, dt)
-    p, s = drift(p, s, dt)
-    p, s = force_eval(p, s, cfg, axis_name)
-    p, s = kick(p, s, dt)
+    if cfg.reuse_forces:
+        p, s = kick(p, s, dt)       # carried rates: F at x_n (see prime)
+        p, s = drift(p, s, dt)
+        p, s, (grid, grav_over) = force_eval(p, s, cfg, axis_name)
+        p, s = kick(p, s, dt)
+    else:
+        # Literal reference schedule: evaluate at x_n too
+        # (SUMMER_SPH.f90:895-900).
+        p, s, _ = force_eval(p, s, cfg, axis_name)
+        p, s = kick(p, s, dt)
+        p, s = drift(p, s, dt)
+        p, s, (grid, grav_over) = force_eval(p, s, cfg, axis_name)
+        p, s = kick(p, s, dt)
 
     t = state.t + dt
     dt = next_timestep(p, dt, cfg, axis_name=axis_name)
 
+    n_unconverged = jnp.zeros((), jnp.int32)
     if cfg.fixed_h is None:
         cols = _gather(p, axis_name) if axis_name else None
-        p = update_smoothing(p, cfg, cols=cols)
+        p, n_unconverged = update_smoothing(p, cfg, cols=cols, grid=grid)
         s = create_sinks(p, s, cfg, axis_name=axis_name)
 
     p, s = accrete(p, s, axis_name=axis_name)
     p, s = cull_bounds(p, s, cfg)
 
-    return state.replace(particles=p, sinks=s, t=t, dt=dt)
+    stats = _coverage_stats(cfg, grid, grav_over, n_unconverged)
+    if axis_name is not None:
+        stats = jax.lax.psum(stats, axis_name)
+
+    if p.capacity != cap0:  # drop the sort's dead pad slots
+        p = jax.tree_util.tree_map(lambda a: a[:cap0], p)
+    return state.replace(particles=p, sinks=s, t=t, dt=dt, stats=stats)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prime(state: SimState, cfg: SimConfig) -> SimState:
+    """Evaluate forces at the current positions, filling acc/du/dalpha
+    (and rho/P/cs/omega).
+
+    Required once before stepping with `cfg.reuse_forces` — the carried-rate
+    KDK needs F(x_0) for its first half-kick, exactly like the reference's
+    first in-loop force evaluation (SUMMER_SPH.f90:895-898).  Idempotent;
+    harmless (one extra evaluation) on resumed checkpoints, which already
+    carry their rates.  On the sorted path the particle order is permuted
+    (identity in pid), as everywhere else in the engine.
+    """
+    cap0 = state.particles.capacity
+    p, s, _ = force_eval(state.particles, state.sinks, cfg)
+    if p.capacity != cap0:
+        p = jax.tree_util.tree_map(lambda a: a[:cap0], p)
+    return state.replace(particles=p, sinks=s)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
@@ -194,9 +282,16 @@ def run_steps(state: SimState, cfg: SimConfig, n_steps: int) -> SimState:
     Implemented with lax.scan: on the TPU backend in use, dynamic-trip-count
     loops (fori_loop / while_loop) execute ~100x slower than their bodies,
     while scan runs at native speed (measured; see docs/PERF_NOTES.md).
+    The returned state's `stats` carries the *maximum* per-step coverage
+    counters over the segment, so a single bad step cannot hide.
     """
-    return jax.lax.scan(lambda st, _: (step(st, cfg), None), state,
-                        None, length=n_steps)[0]
+    def body(st, _):
+        out = step(st, cfg)
+        out = out.replace(stats=jnp.maximum(out.stats, st.stats))
+        return out, None
+
+    state = state.replace(stats=jnp.zeros_like(state.stats))
+    return jax.lax.scan(body, state, None, length=n_steps)[0]
 
 
 def check_coverage(state: SimState, cfg: SimConfig, warn: bool = True) -> int:
@@ -206,22 +301,22 @@ def check_coverage(state: SimState, cfg: SimConfig, warn: bool = True) -> int:
     cfg.pallas_window); a configuration too tight for the density contrast
     silently misses pairs.  Returns the dropped-candidate count for the
     *current* particle distribution (0 = exact coverage) and optionally
-    prints a loud warning.  `simulate` runs this once at start; re-check
-    after strong density evolution.
+    prints a loud warning.  `simulate` runs this at start and re-checks the
+    in-step counters (state.stats) at every snapshot tick.
     """
     if cfg.neighbor_mode != "sorted":
         return 0
     from .ops.pallas_pairs import window_overflow
     from .ops.sorted_grid import LANES, sort_particles
 
-    _, grid = sort_particles(state.particles, cfg)
+    h_pad = 1.0 if cfg.fixed_h is not None else cfg.sort_h_pad
+    _, grid = sort_particles(state.particles, cfg, h_pad=h_pad)
     if cfg.use_pallas:
         dropped = int(window_overflow(grid, cfg.pallas_window))
         knob = "cfg.pallas_window"
     else:
         reach = (grid.starts // LANES) * LANES + cfg.window_blocks * LANES
-        import jax.numpy as _jnp
-        dropped = int(_jnp.sum(_jnp.maximum(grid.ends - reach, 0)))
+        dropped = int(jnp.sum(jnp.maximum(grid.ends - reach, 0)))
         knob = "cfg.window_blocks"
     if dropped and warn:
         n_alive = int(state.particles.n_alive)
@@ -231,6 +326,25 @@ def check_coverage(state: SimState, cfg: SimConfig, warn: bool = True) -> int:
               f"domain rim where SFC columns jump) — raise {knob} for exact "
               f"coverage", flush=True)
     return dropped
+
+
+def warn_stats(state: SimState, tick: Optional[int] = None) -> bool:
+    """Print a loud warning if the step's coverage counters are nonzero.
+
+    Returns True when anything tripped.  `h_unconverged` is informational
+    (particles still refining h at the fixed iteration cap); the window
+    overflow counters mean *dropped pairs* and should be acted on
+    (raise cfg.pallas_window / cfg.window_blocks / cfg.grav_window_blocks).
+    """
+    d = state.stats_dict()
+    bad = {k: v for k, v in d.items() if v and k != "h_unconverged"}
+    if bad:
+        where = f" at tick {tick}" if tick is not None else ""
+        print(f"WARNING{where}: neighbour/gravity window coverage tripped: "
+              f"{bad} — pairs are being dropped; raise the window sizes "
+              f"(cfg.pallas_window / cfg.window_blocks / "
+              f"cfg.grav_window_blocks)", flush=True)
+    return bool(bad)
 
 
 def run_until(state: SimState, t_stop, cfg: SimConfig,
@@ -259,34 +373,41 @@ def simulate(
     on_tick: Optional[Callable[[int, SimState], None]] = None,
     verbose: bool = True,
 ) -> SimState:
-    """Full run to cfg.end_time with n_saves evenly spaced snapshots."""
+    """Full run to cfg.end_time with n_saves evenly spaced snapshots.
+
+    Every saveN index in [0, n_saves) is written — when one scan segment
+    overshoots several ticks, the passed ticks get the current state
+    (duplicated), exactly like the reference's catch-up loop writing one
+    save per pass until current (SUMMER_SPH.f90:868-884) — so downstream
+    tooling can iterate saveN.txt contiguously.
+    """
     from .io.txt import save_path, write_snapshot_txt
 
     from .diagnostics import format_report, measure
 
     check_coverage(state, cfg, warn=True)
+    if cfg.reuse_forces:
+        state = prime(state, cfg)
     ticks = [cfg.end_time * (i + 1) / cfg.n_saves for i in range(cfg.n_saves)]
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
     for i, t_tick in enumerate(ticks):
-        if float(state.t) >= t_tick and i < len(ticks) - 1:
-            continue  # a previous segment overshot past this tick already
         t0 = time.time()
-        state = run_until(state, t_tick, cfg)
-        state.t.block_until_ready()
+        if float(state.t) < t_tick:
+            state = run_until(state, t_tick, cfg)
+            state.t.block_until_ready()
         if verbose:
             print(f"[tick {i}] {format_report(measure(state))} "
                   f"wall: {time.time()-t0:.2f}s", flush=True)
+        warn_stats(state, tick=i)
         if out_dir:
             write_snapshot_txt(save_path(out_dir, i), state.particles,
                                state.sinks, columns=snapshot_columns)
         if on_tick is not None:
             on_tick(i, state)
-        if float(state.t) >= cfg.end_time:
-            break
     return state
 
 
-__all__ = ["force_eval", "kick", "drift", "step", "run_until", "run_steps",
-           "simulate"]
+__all__ = ["force_eval", "kick", "drift", "step", "prime", "run_until",
+           "run_steps", "simulate", "check_coverage", "warn_stats"]

@@ -3,9 +3,10 @@
 Gas-gas gravity in the reference is a Barnes-Hut monopole walk with opening
 angle theta (SUMMER_SPH.f90:249-290), softened within 2h by the spline factor
 f(q) (ops.kernels.grav_softening) and exactly Newtonian outside.  This module
-provides the *exact* chunked all-pairs evaluation — the oracle the BH path is
-validated against, and the production path for N up to ~1e5; `ops.bh_gravity`
-provides the O(N log N) cell-hierarchy walk for larger N.
+provides the *exact* chunked all-pairs evaluation — the oracle the scalable
+path is validated against, and the production path for N up to ~1e5;
+`ops.pm_gravity` provides the O(N log N) TreePM (FFT mesh + short-range)
+replacement for larger N.
 
 Softening follows the reference's receiver-side convention: q = r / h_i with
 the receiving particle's smoothing length ("SUMMER_SPH - Variable.f90":298-301

@@ -13,10 +13,16 @@ maps onto XLA's native batched FFTs):
   live bounding cube; Poisson solve with the isolated-boundary
   (Hockney-Eastwood) Green's function — the FFT of the open-space smoothed
   potential -G erf(r/(2 r_s))/r on the 2x zero-padded grid — with the CIC
-  window deconvolved twice; force via the exact spectral gradient
-  F(k) = -i k phi(k); CIC-interpolated back to particles.
-* F_short: direct pair sum over a gravity-sized sorted-window structure
-  (ops.sorted_grid machinery with cell = r_cut) of the complementary kernel
+  window deconvolved twice; force via 4th-order finite differences of the
+  potential (`cfg.grav_gradient == 'fd'`, one inverse FFT) or the exact
+  spectral gradient F(k) = -i k phi(k) (three inverse FFTs, ~2x the FFT
+  cost for a fraction-of-a-percent mid-k accuracy gain); CIC-interpolated
+  back to particles.  The circulant convolution leaves *valid* open-space
+  potential values in the zero-padded half of the grid, so the FD stencil's
+  wrap-around at the crop edges reads correct data by construction.
+* F_short: direct pair sum over gravity-sized sorted key windows (the
+  ops.sorted_grid machinery with cell = r_cut, run on a slim 7-operand
+  sort of just x/y/z/m/h/index) of the complementary kernel
 
       g_short(r) = f_spline(r/h) - S(r),
       S(r) = erf(r/(2 r_s)) - r/(r_s sqrt(pi)) exp(-r^2/(4 r_s^2)),
@@ -25,16 +31,18 @@ maps onto XLA's native batched FFTs):
   (what the mesh already delivers) and f_spline is the reference's
   compact-support softening (ops.kernels.grav_softening, receiver-side h as
   in "SUMMER_SPH - Variable.f90":298-301).  g_short -> 0 beyond
-  r_cut = `grav_rcut_rs` * r_s, so the pair sum is local.
+  r_cut = rcut_rs * r_s, so the pair sum is local.
 
-Accuracy: rms total-force error 0.1-0.2% vs direct summation
-(tests/test_gravity.py) — several times tighter than the reference's
-theta = 0.5 monopole walk (~1% typical).
+Accuracy: the reference's one gravity-accuracy knob, the opening angle
+theta (parameters.txt / SUMMER_SPH.f90:825), maps onto the split cutoff via
+SimConfig.effective_rcut_rs() — smaller theta => larger r_cut => smaller
+tail-truncation error, monotonically (tests/test_gravity.py).  At the
+default theta=0.5 the rms total-force error vs direct summation is a few
+tenths of a percent — comparable to or tighter than the reference's
+theta=0.5 monopole walk (~1% typical).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +51,8 @@ from ..config import SimConfig
 from ..state import Particles
 from ..utils.units import G, PI
 from .kernels import grav_softening
-from .sorted_grid import LANES, PLANE_OFFSETS, sort_particles
+from .neighbors import SENTINEL_KEY
+from .sorted_grid import LANES, PLANE_OFFSETS, _cell_key, _pad_to
 
 
 def _cic_deposit(pos, mass, origin, cell, n):
@@ -88,6 +97,20 @@ def _cic_gather(field, pos, origin, cell, n):
     return out
 
 
+def _fd4_gradient(phi, cell):
+    """4th-order central-difference force F = -grad phi, axis by axis.
+
+    Wrap-around reads at the crop edges hit the padded half of the circulant
+    potential, which holds *correct* open-space values (module docstring).
+    """
+    comps = []
+    for ax in range(3):
+        d = (-jnp.roll(phi, -2, ax) + 8.0 * jnp.roll(phi, -1, ax)
+             - 8.0 * jnp.roll(phi, 1, ax) + jnp.roll(phi, 2, ax)) / (12.0 * cell)
+        comps.append(-d)
+    return comps
+
+
 def pm_long_range(p: Particles, cfg: SimConfig):
     """Gaussian-filtered long-range gravitational acceleration (CIC-PM).
 
@@ -103,8 +126,8 @@ def pm_long_range(p: Particles, cfg: SimConfig):
     hi = jnp.max(jnp.where(alive3, p.pos, -inf), axis=0)
     lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
     hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
-    # Keep all particles in mesh cells [1, n-2]: the finite-difference halo
-    # then never touches the FFT wrap plane at index 0 / n-1 of the padded box.
+    # Keep all particles in mesh cells [1, n-2]: the CIC halo then never
+    # touches the FFT wrap plane at index 0 / n-1 of the padded box.
     extent = jnp.maximum(jnp.max(hi - lo), 1.0e-6)
     cell = extent / (n - 3)
     origin = lo - 1.5 * cell
@@ -148,14 +171,22 @@ def pm_long_range(p: Particles, cfg: SimConfig):
 
     phi_k = rho_k * kern_k * deconv.astype(rho_k.dtype)
 
-    # Force = -grad phi via the exact spectral gradient F(k) = -i k phi(k)
-    # (finite differences attenuate the mid-k band by a few percent).
-    def spectral_force(kvec_bcast):
-        return jnp.fft.irfftn((-1j) * kvec_bcast * phi_k,
-                              s=(npad, npad, npad))
-    gx = spectral_force(kx[:, None, None].astype(jnp.float32))
-    gy = spectral_force(kx[None, :, None].astype(jnp.float32))
-    gz = spectral_force(kz[None, None, :].astype(jnp.float32))
+    if cfg.grav_gradient == "fd":
+        # One inverse FFT + cheap stencils; the Gaussian split suppresses
+        # the mid-k band where the FD operator attenuates, keeping the total
+        # force error in the same few-tenths-of-a-percent class
+        # (tests/test_gravity.py measures it against the direct oracle).
+        phi = jnp.fft.irfftn(phi_k, s=(npad, npad, npad))
+        gx, gy, gz = _fd4_gradient(phi, cell)
+    else:
+        # Exact spectral gradient F(k) = -i k phi(k).
+        def spectral_force(kvec_bcast):
+            return jnp.fft.irfftn((-1j) * kvec_bcast * phi_k,
+                                  s=(npad, npad, npad))
+        gx = spectral_force(kx[:, None, None].astype(jnp.float32))
+        gy = spectral_force(kx[None, :, None].astype(jnp.float32))
+        gz = spectral_force(kz[None, None, :].astype(jnp.float32))
+
     force = jnp.stack([gx[:n, :n, :n], gy[:n, :n, :n], gz[:n, :n, :n]],
                       axis=-1)
 
@@ -173,39 +204,76 @@ def _short_factor(r, h_i, r_s):
 
 def pm_short_range(p: Particles, cfg: SimConfig, r_s):
     """Direct complementary pair force within r_cut, via gravity-sized
-    sorted windows.  `p` may be in any order; output matches its order."""
-    r_cut = cfg.grav_rcut_rs * r_s
+    sorted windows.  `p` may be in any order; output matches its order.
 
-    # Sort by gravity-cell key (cell = r_cut covers the stencil reach).
-    gcfg = cfg.with_(sorted_block=cfg.sorted_block,
-                     window_blocks=cfg.grav_window_blocks)
-    p2, grid = sort_particles(p, gcfg, cell_size_override=r_cut)
+    Runs on a slim 7-operand sort (key, x, y, z, m, h, source index) —
+    the gravity pass needs no other fields, and multi-operand lax.sort cost
+    scales with operand count.  Returns (acc [N,3], n_window_overflow).
+    """
+    r_cut = cfg.effective_rcut_rs() * r_s
+    dtype = p.pos.dtype
 
-    cap = p2.capacity
-    B = gcfg.sorted_block
+    cap = _pad_to(p.capacity, max(cfg.sorted_block, LANES))
+    B = cfg.sorted_block
     Gn = cap // B
     R = cap // LANES
 
-    x2 = p2.pos[:, 0].reshape(R, LANES)
-    y2 = p2.pos[:, 1].reshape(R, LANES)
-    z2 = p2.pos[:, 2].reshape(R, LANES)
-    m2 = jnp.where(p2.alive, p2.mass, 0.0).reshape(R, LANES)
-    k2 = grid.key.reshape(R, LANES)
+    def pad(a, fill=0.0):
+        if a.shape[0] == cap:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((cap - a.shape[0],), fill, a.dtype)])
 
-    xi = p2.pos[:, 0].reshape(Gn, B, 1)
-    yi = p2.pos[:, 1].reshape(Gn, B, 1)
-    zi = p2.pos[:, 2].reshape(Gn, B, 1)
-    hi = p2.h.reshape(Gn, B, 1)
-    ki = grid.key.reshape(Gn, B, 1)
+    inf = jnp.asarray(jnp.inf, dtype)
+    origin = jnp.min(jnp.where(p.alive[:, None], p.pos, inf), axis=0)
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+    cell = jnp.maximum(jnp.asarray(r_cut, dtype), 1.0e-12)
+    key = jnp.where(p.alive, _cell_key(p.pos, origin, cell), SENTINEL_KEY)
 
-    sb = grid.starts // LANES
-    z = jnp.zeros((Gn, B), p2.pos.dtype)
+    operands = [pad(key.astype(jnp.int32), SENTINEL_KEY),
+                pad(p.pos[:, 0], 0.0), pad(p.pos[:, 1], 0.0),
+                pad(p.pos[:, 2], 0.0),
+                pad(jnp.where(p.alive, p.mass, 0.0), 0.0),
+                pad(p.h, 1.0),
+                pad(jnp.arange(p.capacity, dtype=jnp.int32), -1)]
+    key_s, xs, ys, zs, ms, hs, src = jax.lax.sort(
+        operands, num_keys=1, is_stable=False)
+
+    # Group stencil windows (same machinery as ops.sorted_grid).
+    kmin = key_s.reshape(Gn, B)[:, 0]
+    kmax = key_s.reshape(Gn, B)[:, -1]
+    first_dead = jnp.searchsorted(key_s, SENTINEL_KEY, side="left"
+                                  ).astype(jnp.int32)
+    offs = jnp.asarray(PLANE_OFFSETS, jnp.int32)
+    lo_w = kmin[:, None] + offs[None, :] - 1
+    hi_w = kmax[:, None] + offs[None, :] + 1
+    starts = jnp.searchsorted(key_s, lo_w.reshape(-1), side="left"
+                              ).reshape(Gn, 9).astype(jnp.int32)
+    ends = jnp.searchsorted(key_s, hi_w.reshape(-1), side="right"
+                            ).reshape(Gn, 9).astype(jnp.int32)
+    ends = jnp.minimum(ends, first_dead)
+    ends = jnp.maximum(ends, starts)
+    reach = (starts // LANES) * LANES + cfg.grav_window_blocks * LANES
+    n_over = jnp.sum(jnp.maximum(ends - reach, 0)).astype(jnp.int32)
+
+    x2, y2, z2 = (a.reshape(R, LANES) for a in (xs, ys, zs))
+    m2 = ms.reshape(R, LANES)
+    k2 = key_s.reshape(R, LANES)
+
+    xi = xs.reshape(Gn, B, 1)
+    yi = ys.reshape(Gn, B, 1)
+    zi = zs.reshape(Gn, B, 1)
+    hi = hs.reshape(Gn, B, 1)
+    ki = key_s.reshape(Gn, B, 1)
+
+    sb = starts // LANES
+    z = jnp.zeros((Gn, B), dtype)
     ax, ay, az = z, z, z
     lane = jnp.arange(LANES, dtype=jnp.int32)[None, :]
     for o in range(9):
         lo = ki + (PLANE_OFFSETS[o] - 1)
         hi_k = ki + (PLANE_OFFSETS[o] + 1)
-        for blk in range(gcfg.window_blocks):
+        for blk in range(cfg.grav_window_blocks):
             rows = jnp.clip(sb[:, o] + blk, 0, R - 1)
             cx = x2[rows][:, None, :]
             cy = y2[rows][:, None, :]
@@ -228,21 +296,23 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s):
             ay = ay + jnp.sum(coef * dxy, axis=-1)
             az = az + jnp.sum(coef * dxz, axis=-1)
 
-    acc_sorted = jnp.stack([ax.reshape(cap), ay.reshape(cap),
-                            az.reshape(cap)], axis=-1)
-    acc_sorted = jnp.where(p2.alive[:, None], acc_sorted, 0.0)
-
-    # Un-permute to the caller's order via pid (p.pid is a permutation of
-    # 0..cap-1 within each sort because ids are stable).
-    inv = jnp.zeros((cap,), jnp.int32).at[p2.pid].set(
-        jnp.arange(cap, dtype=jnp.int32))
-    acc = acc_sorted[inv[p.pid]]
-    return acc
+    # Un-permute to the caller's order: scatter each sorted row's force to
+    # its source slot (dead pad rows carry src == -1, dropped).
+    acc = jnp.zeros((p.capacity, 3), dtype)
+    acc = acc.at[src].set(
+        jnp.stack([ax.reshape(cap), ay.reshape(cap), az.reshape(cap)],
+                  axis=-1), mode="drop")
+    acc = jnp.where(p.alive[:, None], acc, 0.0)
+    return acc, n_over
 
 
 def gas_gravity_pm(p: Particles, cfg: SimConfig,
-                   cols: Particles | None = None) -> jax.Array:
+                   cols: Particles | None = None):
     """Full PM + short-range self-gravity for the row particles.
+
+    Returns (acc [N,3], n_window_overflow int32 — 0 means the short-range
+    windows covered every candidate; nonzero means dropped pairs, surfaced
+    through SimState.stats).
 
     `cols` (multi-chip all-gathered set) is not yet supported — the PM mesh
     needs the global mass distribution; the sharded path falls back to
@@ -253,8 +323,8 @@ def gas_gravity_pm(p: Particles, cfg: SimConfig,
             "PM gravity under shard_map: deposit/solve on replicated mesh "
             "not wired yet; use gravity='direct' in sharded runs")
     acc_long, _, _, r_s = pm_long_range(p, cfg)
-    acc_short = pm_short_range(p, cfg, r_s)
-    return acc_long + acc_short
+    acc_short, n_over = pm_short_range(p, cfg, r_s)
+    return acc_long + acc_short, n_over
 
 
 __all__ = ["gas_gravity_pm", "pm_long_range", "pm_short_range"]

@@ -12,12 +12,24 @@ fixed-count `lax.scan` with a per-particle convergence mask
 parts"), and scan because dynamic-trip loops are pathologically slow on the
 target backend.
 
+Matching the reference's ordering (V:1150-1152), this runs *after* the
+step's forces, at the same positions — so the *first* Newton update reuses
+the rho/Omega the force evaluation just computed (the reference's first
+in-iteration density summation is identical to the step's own,
+V:533 vs V:1131), and each further iteration re-sums once.  The final
+density is left at the previous h: the next step's evaluation recomputes
+rho at the post-drift positions anyway, so a closing re-summation would be
+pure waste; the new h takes effect next step exactly as in the reference.
+
 h is clamped to [0.01, min(cfg.max_length, stencil reach)] — the lower/upper
-bounds mirror V:531; the stencil bound (half the neighbour-grid cell size)
-guarantees the fixed cell grid built at entry still covers every neighbour
-even as h grows during the iteration.  Matching the reference's ordering
-(V:1150-1152), this runs *after* the step's forces: the new h takes effect
-next step, and the final density/Omega from the last re-summation are kept.
+bounds mirror V:531; the stencil bound (half the neighbour-structure cell
+size, which the step's sort built with `cfg.sort_h_pad` headroom) guarantees
+the shared grid still covers every neighbour even as h grows during the
+iteration.
+
+Returns (particles, n_unconverged): the count of live particles whose last
+unclamped Newton step still exceeded `cfg.convergence_criteria` — surfaced
+through SimState.stats so a too-small `h_iter_max` is visible at runtime.
 """
 
 from __future__ import annotations
@@ -31,91 +43,117 @@ from .density import compute_density
 from .neighbors import CellGrid, build_grid
 
 
+def _newton(h, rho, omega, m, eta):
+    target = m * (eta / h) ** 3
+    return h * (1.0 + (target / rho - 1.0) / (3.0 * omega))
+
+
 def update_smoothing(p: Particles, cfg: SimConfig,
-                     cols: Particles | None = None) -> Particles:
-    """Newton-iterate h on `p`; `cols` is the neighbour pool (multi-chip:
-    rows = local shard, cols = all-gathered global set)."""
+                     cols: Particles | None = None, grid=None):
+    """Newton-iterate h on `p`.
+
+    `grid` is the step's sorted-window structure (ops.sorted_grid) for the
+    shared-sort fast path: `p` must already be in that grid's sorted order
+    with rho/omega freshly computed (force_eval guarantees both).  Otherwise
+    `cols` is the neighbour pool (multi-chip: rows = local shard, cols =
+    all-gathered global set) and a hashed grid is built here.
+
+    Returns (particles, n_unconverged int32).
+    """
+    if grid is not None and cfg.neighbor_mode == "sorted" and cols is None:
+        return _update_smoothing_shared(p, cfg, grid)
     if cfg.neighbor_mode == "sorted" and cols is None:
         return _update_smoothing_sorted(p, cfg)
     cols = cols if cols is not None else p
     # Build a grid with headroom so h can grow during the iteration and the
     # 27-cell stencil still covers the enlarged support.
     headroom = 1.25
-    grid: CellGrid = build_grid(cols.replace(h=cols.h * headroom), cfg)
-    h_cap = jnp.minimum(cfg.max_length, grid.cell_size / 2.0)
+    hgrid: CellGrid = build_grid(cols.replace(h=cols.h * headroom), cfg)
+    h_cap = jnp.minimum(cfg.max_length, hgrid.cell_size / 2.0)
 
-    def newton(h, rho, omega, m):
-        target = m * (cfg.eta / h) ** 3
-        return h * (1.0 + (target / rho - 1.0) / (3.0 * omega))
+    def dens(q):
+        return compute_density(q, cfg.with_(fixed_h=None), hgrid, cols=cols)
 
-    # Fixed-count scan with a per-particle convergence mask: the target
-    # backend runs dynamic-trip loops ~100x slower than their bodies, so a
-    # small fixed iteration count (Newton converges quadratically from the
-    # previous step's h) beats while_loop early exit.
-    def body(carry, _):
-        q, active = carry
-        q = compute_density(q, cfg.with_(fixed_h=None), grid, cols=cols)
-        h_raw = newton(q.h, q.rho, q.omega, q.mass)
+    # The caller (force_eval via step) computed rho/omega at these positions
+    # already only on the single-chip sorted path; here the first iteration
+    # must re-sum (multi-chip cols or standalone use).
+    return _newton_scan(p, cfg, dens, h_cap, resum_first=True)
+
+
+def _newton_scan(p: Particles, cfg: SimConfig, dens, h_cap,
+                 resum_first: bool):
+    """Shared fixed-count masked-convergence Newton scan.
+
+    Every iteration: (re-sum rho/Omega unless first && !resum_first), Newton
+    update, clamp, convergence mask.  Convergence is judged on the
+    *unclamped* step so a particle pinned at the cap keeps tracking the cap.
+    """
+    def body(carry, resum):
+        q, active, _ = carry
+        q = jax.lax.cond(resum, dens, lambda x: x, q)
+        h_raw = _newton(q.h, q.rho, q.omega, q.mass, cfg.eta)
         h_new = jnp.clip(h_raw, 0.01, h_cap)
-        # Convergence judged on the *unclamped* step: a particle pinned at
-        # the cap must stay active so it keeps tracking the cap as it moves.
         rel = jnp.abs(h_raw - q.h) / q.h
         h_next = jnp.where(active & q.alive, h_new, q.h)
         still = active & q.alive & (rel > cfg.convergence_criteria)
-        return (q.replace(h=h_next), still), None
+        return (q.replace(h=h_next), still,
+                jnp.sum(still, dtype=jnp.int32)), None
 
-    (p_out, _), _ = jax.lax.scan(body, (p, p.alive), None,
-                                 length=cfg.h_iter_max)
-
-    # Final consistency: density/Omega at the accepted h.
-    p_out = compute_density(p_out, cfg.with_(fixed_h=None), grid, cols=cols)
-    return p_out
+    resums = jnp.arange(cfg.h_iter_max) >= (1 if not resum_first else 0)
+    (p_out, _, n_open), _ = jax.lax.scan(
+        body, (p, p.alive, jnp.zeros((), jnp.int32)), resums)
+    return p_out, n_open.astype(jnp.int32)
 
 
-def _update_smoothing_sorted(p: Particles, cfg: SimConfig) -> Particles:
-    """Sorted-engine h iteration (the TPU production path).
+def _update_smoothing_shared(p: Particles, cfg: SimConfig, grid):
+    """Fast path: reuse the step's sorted grid AND its rho/omega.
 
-    One sort with h_pad headroom; h is clamped to cell_size/2 so the fixed
-    windows cover the growing support throughout the scan.  The order of `p`
-    is permuted by the sort (identity in pid), matching force_eval's
-    behaviour in sorted mode.
+    No sort, and the first Newton update consumes the force evaluation's
+    density — `cfg.h_iter_max` iterations cost `h_iter_max - 1` density
+    re-summations.
     """
-    from .sorted_grid import sort_particles, sorted_density
-    try:
+    from .sorted_grid import sorted_density
+    vcfg = cfg.with_(fixed_h=None)
+
+    if cfg.use_pallas:
         from .pallas_pairs import pallas_density
-    except Exception:  # pragma: no cover
-        pallas_density = None
+
+        def dens(q):
+            return pallas_density(q, vcfg, grid)
+    else:
+        def dens(q):
+            return sorted_density(q, vcfg, grid)
+
+    h_cap = jnp.minimum(cfg.max_length, grid.cell_size / 2.0)
+    return _newton_scan(p, cfg, dens, h_cap, resum_first=False)
+
+
+def _update_smoothing_sorted(p: Particles, cfg: SimConfig):
+    """Standalone sorted-engine h iteration (no shared grid): one sort with
+    `cfg.sort_h_pad` headroom, then the same scan with a first re-summation.
+    Used by cold starts (ICs with guessed h) and tests; the in-step path is
+    _update_smoothing_shared."""
+    from .sorted_grid import sort_particles, sorted_density
 
     cap0 = p.capacity
     vcfg = cfg.with_(fixed_h=None)
-    p2, grid = sort_particles(p, cfg, h_pad=1.25)
+    p2, grid = sort_particles(p, cfg, h_pad=max(cfg.sort_h_pad, 1.25))
     h_cap = jnp.minimum(cfg.max_length, grid.cell_size / 2.0)
 
-    def dens(q):
-        if cfg.use_pallas and pallas_density is not None:
+    if cfg.use_pallas:
+        from .pallas_pairs import pallas_density
+
+        def dens(q):
             return pallas_density(q, vcfg, grid)
-        return sorted_density(q, vcfg, grid)
+    else:
+        def dens(q):
+            return sorted_density(q, vcfg, grid)
 
-    def newton(h, rho, omega, m):
-        target = m * (cfg.eta / h) ** 3
-        return h * (1.0 + (target / rho - 1.0) / (3.0 * omega))
-
-    def body(carry, _):
-        q, active = carry
-        q = dens(q)
-        h_raw = newton(q.h, q.rho, q.omega, q.mass)
-        h_new = jnp.clip(h_raw, 0.01, h_cap)
-        rel = jnp.abs(h_raw - q.h) / q.h
-        h_next = jnp.where(active & q.alive, h_new, q.h)
-        still = active & q.alive & (rel > cfg.convergence_criteria)
-        return (q.replace(h=h_next), still), None
-
-    (p_out, _), _ = jax.lax.scan(body, (p2, p2.alive), None,
-                                 length=cfg.h_iter_max)
-    p_out = dens(p_out)
+    p_out, n_open = _newton_scan(p2, cfg, dens, h_cap, resum_first=True)
+    p_out = dens(p_out)  # standalone contract: rho/Omega consistent with h
     if p_out.capacity != cap0:
         p_out = jax.tree_util.tree_map(lambda a: a[:cap0], p_out)
-    return p_out
+    return p_out, n_open
 
 
 __all__ = ["update_smoothing"]

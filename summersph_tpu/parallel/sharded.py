@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimConfig
-from ..integrate import step
+from ..integrate import force_eval, step
 from ..state import Particles, SimState, Sinks
 
 try:  # JAX >= 0.6 exposes shard_map at top level
@@ -52,7 +52,7 @@ def state_specs(axis: str = "dp") -> SimState:
     return SimState(
         particles=fill(Particles, P(axis)),
         sinks=fill(Sinks, P()),
-        t=P(), dt=P(),
+        t=P(), dt=P(), stats=P(),
     )
 
 
@@ -91,6 +91,22 @@ def _shard_map(fn, mesh, in_specs, out_specs):
     except TypeError:  # older JAX spelling
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_rep=False)
+
+
+def make_sharded_prime(cfg: SimConfig, mesh: Mesh, axis: str = "dp"):
+    """Jitted data-parallel force evaluation at the current positions.
+
+    Run once before stepping when `cfg.reuse_forces` (see integrate.prime):
+    the carried-rate KDK's first half-kick consumes F(x_0)."""
+    specs = state_specs(axis)
+
+    def body(state: SimState) -> SimState:
+        p, s, _ = force_eval(state.particles, state.sinks, cfg,
+                             axis_name=axis)
+        return state.replace(particles=p, sinks=s)
+
+    fn = _shard_map(body, mesh, (specs,), specs)
+    return jax.jit(fn)
 
 
 def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = "dp"):
@@ -135,4 +151,5 @@ def sharded_run_until(state: SimState, t_stop, cfg: SimConfig, mesh: Mesh,
 
 
 __all__ = ["make_mesh", "state_specs", "pad_state_to_devices", "shard_state",
-           "make_sharded_step", "make_sharded_run_steps", "sharded_run_until"]
+           "make_sharded_prime", "make_sharded_step", "make_sharded_run_steps",
+           "sharded_run_until"]

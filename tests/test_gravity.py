@@ -65,7 +65,9 @@ def test_pm_matches_direct_on_cloud():
     cfg = SimConfig(gravity="pm", grav_grid=64, neighbor_mode="sorted",
                     sorted_block=64, window_blocks=3, grav_window_blocks=3)
     a_direct = np.asarray(gas_gravity_direct(p, cfg))
-    a_pm = np.asarray(gas_gravity_pm(p, cfg))
+    a_pm, n_over = gas_gravity_pm(p, cfg)
+    a_pm = np.asarray(a_pm)
+    assert int(n_over) == 0
     # rms force error well under the reference's theta=0.5 walk (~1%)
     num = np.linalg.norm(a_pm - a_direct, axis=1)
     den = np.linalg.norm(a_direct, axis=1)
@@ -77,6 +79,6 @@ def test_pm_matches_direct_on_cloud():
 def test_pm_dead_particles_ignored():
     p = cloud(n=256, h=0.5, capacity=300)
     cfg = SimConfig(gravity="pm", grav_grid=32)
-    acc = np.asarray(gas_gravity_pm(p, cfg))
+    acc = np.asarray(gas_gravity_pm(p, cfg)[0])
     assert np.isfinite(acc).all()
     assert np.all(acc[256:] == 0.0)

@@ -18,7 +18,7 @@ def test_h_converges_to_eta_scaling():
                     cell_cap=96)
     # start h off-target
     p = p.replace(h=jnp.full_like(p.h, 1.6))
-    p2 = update_smoothing(p, cfg)
+    p2, _ = update_smoothing(p, cfg)
     h = np.asarray(p2.h)
     rho = np.asarray(p2.rho)
     m = np.asarray(p2.mass)
@@ -34,7 +34,7 @@ def test_h_respects_bounds():
     p = lattice_particles(nside=4, spacing=1.0, h=1.0, jitter=0.0)
     cfg = SimConfig(fixed_h=None, eta=1.2, max_length=1.05, h_iter_max=4,
                     neighbor_mode="grid")
-    p2 = update_smoothing(p, cfg)
+    p2, _ = update_smoothing(p, cfg)
     h = np.asarray(p2.h)[np.asarray(p2.alive)]
     assert (h >= 0.01).all()
     assert np.isfinite(h).all()
@@ -47,8 +47,8 @@ def test_h_iteration_sorted_engine_matches_grid():
                   h=jnp.full_like(p.h, 1.5))
     base = SimConfig(fixed_h=None, eta=1.2, convergence_criteria=1e-4,
                      h_iter_max=5, max_length=10.0, cell_cap=96)
-    pg = update_smoothing(p, base.with_(neighbor_mode="grid"))
-    ps = update_smoothing(p, base.with_(neighbor_mode="sorted",
+    pg, _ = update_smoothing(p, base.with_(neighbor_mode="grid"))
+    ps, _ = update_smoothing(p, base.with_(neighbor_mode="sorted",
                                         sorted_block=64, window_blocks=5))
     # compare by pid (sorted path permutes)
     order_g = np.argsort(np.asarray(pg.pid))

@@ -25,15 +25,19 @@ def test_sorted_matches_dense_force_eval():
     cfg_s = cfg_d.with_(neighbor_mode="sorted", sorted_block=64,
                         window_blocks=2)
 
-    pd, _ = force_eval(p, s, cfg_d)
-    ps, _ = force_eval(p, s, cfg_s)
+    pd, _, _ = force_eval(p, s, cfg_d)
+    ps, _, _ = force_eval(p, s, cfg_s)
 
+    # The sorted path returns padded arrays (dead slots, pids past capacity,
+    # sorted to the end of the pid order) — compare the real slots only.
+    cap = p.capacity
     assert np.asarray(ps.alive).sum() == np.asarray(pd.alive).sum()
     for field in ("rho", "omega", "pressure", "du", "dalpha"):
         np.testing.assert_allclose(
-            _by_pid(ps, getattr(ps, field)), _by_pid(pd, getattr(pd, field)),
+            _by_pid(ps, getattr(ps, field))[:cap],
+            _by_pid(pd, getattr(pd, field)),
             rtol=2e-4, atol=1e-6, err_msg=field)
-    np.testing.assert_allclose(_by_pid(ps, ps.acc), _by_pid(pd, pd.acc),
+    np.testing.assert_allclose(_by_pid(ps, ps.acc)[:cap], _by_pid(pd, pd.acc),
                                rtol=2e-4, atol=1e-6)
 
 
