@@ -2,10 +2,15 @@
 
 Runs on whatever backend JAX picks (the driver runs this on the real TPU
 chip).  Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "sweep": {...}}
 vs_baseline is value / 1e8 — the BASELINE.json north star (1e8
 particle-steps/sec on a 1e6-particle Keplerian disc on v5e-8; the reference
-publishes no numbers of its own, BASELINE.md).
+publishes no numbers of its own, BASELINE.md).  The headline value is the
+graded config: N=1e6, single chip.  `sweep` adds smaller-N and
+self-gravity (TreePM) variants.
+
+Env knobs: BENCH_N / BENCH_STEPS / BENCH_GRAVITY / BENCH_PALLAS override the
+headline config; BENCH_SWEEP=0 skips the sweep (faster CI runs).
 """
 
 import json
@@ -16,38 +21,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-    n = int(os.environ.get("BENCH_N", 131072))
-    steps = int(os.environ.get("BENCH_STEPS", 20))
-    gravity = os.environ.get("BENCH_GRAVITY", "none")
+def run_config(n, steps, gravity, use_pallas=True):
+    """particle-steps/sec for one configuration."""
+    import numpy as np
 
-    import jax
-    try:  # persistent compile cache (first compiles are minutes on the tunnel)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                       ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
     from summersph_tpu.config import SimConfig
     from summersph_tpu.integrate import prime, run_steps
     from summersph_tpu.models.disc import disc_ic
 
-    # Keplerian disc around a central sink (graded config 3).  h chosen so
-    # the kernel support holds ~60 neighbours at this N within r<100 AU.
+    # Keplerian disc around a central sink (graded config 3/5 geometry).
+    # h chosen so the kernel support holds ~60 neighbours at this N.
     h0 = 100.0 * (60.0 / n) ** (1.0 / 3.0) / 2.0
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     cfg = SimConfig(
         fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
-        use_pallas=use_pallas, sorted_block=128 if use_pallas else 64,
-        pallas_window=768, window_blocks=5,
+        use_pallas=use_pallas, sorted_block=128, window_group=32,
+        pallas_window=384, window_blocks=3, grav_window_blocks=8,
         gamma=1.4, bounding_size=1500.0,
         dt_init=1e-4, dt_min=1e-5, dt_max=1e-3,
     )
     state, _ = disc_ic(n=n, r_max=100.0, m_star=5.0, h0=h0,
                        rotation="keplerian", cfg=cfg, seed=0)
-
-    import numpy as np
 
     def sync(st):
         # block_until_ready can return without syncing on the tunneled
@@ -67,13 +60,44 @@ def main():
     dt_wall = time.perf_counter() - t0
 
     alive = int(out.particles.n_alive)
-    value = alive * steps / dt_wall
+    return alive * steps / dt_wall
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 1048576))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    gravity = os.environ.get("BENCH_GRAVITY", "none")
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    do_sweep = os.environ.get("BENCH_SWEEP", "1") == "1"
+
+    import jax
+    try:  # persistent compile cache (first compiles are minutes on the tunnel)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    value = run_config(n, steps, gravity, use_pallas)
+    sweep = {}
+    if do_sweep:
+        for sn, sg in ((131072, "none"), (n, "pm")):
+            if (sn, sg) == (n, gravity):
+                continue
+            try:
+                sweep[f"N={sn},gravity={sg}"] = run_config(
+                    sn, steps, sg, use_pallas)
+            except Exception as e:  # sweep is best-effort extra evidence
+                sweep[f"N={sn},gravity={sg}"] = f"failed: {e}"
+
     print(json.dumps({
         "metric": f"particle-steps/sec (Keplerian disc, N={n}, "
                   f"gravity={gravity}, single chip)",
         "value": value,
         "unit": "particle-steps/sec",
         "vs_baseline": value / 1e8,
+        "sweep": sweep,
     }))
 
 

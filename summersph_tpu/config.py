@@ -81,7 +81,12 @@ class SimConfig:
     # effective_rcut_rs() so the reference's one gravity-accuracy knob
     # (parameters.txt theta, SUMMER_SPH.f90:825) controls PM accuracy too
     grav_rcut_rs: Optional[float] = None
-    grav_window_blocks: int = 3         # window blocks for the gravity sort
+    # 128-wide blocks per gravity window: r_cut-sized cells hold ~rho*r_cut^3
+    # particles, so honest coverage needs window_group + 6*rho*r_cut^3 + 127
+    # lanes (measured: ~900-lane windows for a uniform 1e6 ball at the
+    # default 128^3 mesh).  The in-step overflow counter (SimState.stats)
+    # reports drops; raise this when it trips.
+    grav_window_blocks: int = 8
     # long-range force gradient: 'fd' = single potential FFT + 4th-order
     # finite differences (2 big FFTs/solve); 'spectral' = exact F(k) = -ik phi
     # (4 big FFTs/solve, ~2x slower, slightly tighter mid-k accuracy)
@@ -93,10 +98,23 @@ class SimConfig:
     # 'dense'  : O(N^2) all-pairs (small N / brute-force oracle in tests)
     neighbor_mode: str = "grid"
     cell_cap: int = 64                  # 'grid': max particles per hashed cell
-    sorted_block: int = 64              # 'sorted': rows per window group
-    window_blocks: int = 5              # 'sorted': 128-wide blocks per window
+    # 'sorted': rows per Pallas program / padding granule (multiple of 128)
+    sorted_block: int = 128
+    # 'sorted': rows per stencil *window group* — windows are searched per
+    # `window_group` consecutive sorted rows, so each window only has to
+    # cover that group's key span + two 3-cell column occupancies + the
+    # 128-lane DMA alignment slop.  Decoupling this from sorted_block
+    # (Pallas programs sub-block it) cuts the candidate lanes per row ~2x
+    # at equal drop rate (measured, ball geometry: p99 extent 215 at
+    # window_group=32 vs 358 at 128, N-independent).  Must divide both
+    # sorted_block and 128.
+    window_group: int = 32
+    window_blocks: int = 3              # 'sorted': 128-wide blocks per window
     use_pallas: bool = False            # 'sorted': Pallas pair kernels
-    pallas_window: int = 768            # Pallas: exact window size (particles)
+    pallas_window: int = 384            # Pallas: exact window size (particles)
+    # Run the Pallas kernels in interpret mode (CPU-executable): tests
+    # exercise the exact production code path on the virtual device mesh.
+    pallas_interpret: bool = False
 
     # --- h-iteration (variable-h mode)
     h_iter_max: int = 3                 # fixed Newton iteration count (masked convergence)

@@ -80,20 +80,21 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     may be *padded* beyond the caller's capacity — `step` slices back.
 
     Multi-chip (`axis_name` set, called inside shard_map): `p` is this
-    device's shard, `s` is replicated.  Neighbour columns are the
-    all-gathered global particle set — positions are small (1e6 particles =
-    12 MB f32), so replicated-columns + sharded-rows rides ICI once per pair
-    pass and scales compute by the device count (SURVEY.md §2.3).
+    device's shard, `s` is replicated.  The production sorted engine runs
+    its full sharded form (_force_eval_sorted_sharded: replicated sort,
+    per-device row slabs, psum'd PM mesh); the hashed-grid/dense paths use
+    all-gathered neighbour columns — positions are small (1e6 particles =
+    12 MB f32), so replicated-columns + sharded-rows rides ICI once per
+    pair pass and scales compute by the device count (SURVEY.md §2.3).
     """
-    if cfg.neighbor_mode == "sorted" and axis_name is None:
-        return _force_eval_sorted(p, s, cfg)
+    if cfg.neighbor_mode == "sorted":
+        if axis_name is None:
+            return _force_eval_sorted(p, s, cfg)
+        return _force_eval_sorted_sharded(p, s, cfg, axis_name)
 
     cols0 = _gather(p, axis_name) if axis_name else None
-    # Sharded runs use the hashed cell grid as the neighbour structure even
-    # in 'sorted' configs (sharding the sorted order across devices — SFC
-    # domain decomposition — is future work); 'dense' stays dense.
     grid = (build_grid(cols0 if cols0 is not None else p, cfg)
-            if cfg.neighbor_mode in ("grid", "sorted") else None)
+            if cfg.neighbor_mode == "grid" else None)
     p = compute_density(p, cfg, grid, cols=cols0)
     p = eos_update(p, cfg)
 
@@ -106,7 +107,14 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
         acc = acc + gas_gravity_direct(p, cfg, cols=cols)
     elif cfg.gravity in ("bh", "pm", "treepm"):
         from .ops.pm_gravity import gas_gravity_pm
-        acc_pm, grav_over = gas_gravity_pm(p, cfg, cols=cols)
+        if axis_name is None:
+            acc_pm, grav_over = gas_gravity_pm(p, cfg)
+        else:
+            # cols is the tiled all_gather of the shards, so this shard is
+            # exactly the contiguous slice at axis_index * capacity.
+            off = jax.lax.axis_index(axis_name) * p.capacity
+            acc_pm, grav_over = gas_gravity_pm(cols, cfg, rows=(p, off),
+                                               axis_name=axis_name)
         acc = acc + acc_pm
 
     acc_gas_sink, acc_sink = sink_gravity(p, s, axis_name=axis_name)
@@ -145,9 +153,10 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
     p2, sgrid = sort_particles(p, cfg, h_pad=h_pad)
     if cfg.use_pallas:
         from .ops.pallas_pairs import pallas_density, pallas_forces
-        p2 = pallas_density(p2, cfg, sgrid)
+        itp = cfg.pallas_interpret
+        p2 = pallas_density(p2, cfg, sgrid, interpret=itp)
         p2 = eos_update(p2, cfg)
-        acc, du, dalpha = pallas_forces(p2, cfg, sgrid)
+        acc, du, dalpha = pallas_forces(p2, cfg, sgrid, interpret=itp)
     else:
         p2 = sorted_density(p2, cfg, sgrid)
         p2 = eos_update(p2, cfg)
@@ -164,6 +173,77 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
     acc_gas_sink, acc_sink = sink_gravity(p2, s)
     p2 = p2.replace(acc=acc + acc_gas_sink, du=du, dalpha=dalpha)
     return p2, s.replace(acc=acc_sink), (sgrid, grav_over)
+
+
+def _force_eval_sorted_sharded(p: Particles, s: Sinks, cfg: SimConfig,
+                               axis_name: str):
+    """The sorted/Pallas production engine under shard_map.
+
+    SPMD layout (the TPU translation of the reference's OpenMP-parallel hot
+    pair loops, SUMMER_SPH.f90:302-313): the sort operands of all shards are
+    all_gathered and sorted *replicated* — every device holds the identical
+    global sorted order — and each device then owns the contiguous 1/D row
+    slice at axis_index * capacity as its shard for the pair passes, whose
+    candidate windows read the replicated columns locally.  Per step this
+    costs two all_gathers (sort inputs; density-derived fields) and the
+    replicated sort; the O(N * candidates) pair math — the dominant cost —
+    scales by the device count.  PM gravity deposits each shard on a local
+    mesh and psums it (ops.pm_gravity).
+    """
+    from .ops.sorted_grid import sort_particles, sorted_density, sorted_forces
+
+    nloc = p.capacity
+    if nloc % max(cfg.sorted_block, 128):
+        raise ValueError(
+            f"sharded sorted runs need the per-device capacity ({nloc}) to "
+            f"be a multiple of max(sorted_block, 128) so the replicated "
+            f"sort needs no extra padding; pad the state first "
+            f"(parallel.sharded.pad_state_to_devices)")
+    if cfg.use_pallas and (cfg.sorted_block % 128 or cfg.pallas_window % 128):
+        raise ValueError(
+            "use_pallas requires 128-aligned sorted_block/pallas_window "
+            "(see _force_eval_sorted)")
+
+    h_pad = 1.0 if cfg.fixed_h is not None else cfg.sort_h_pad
+    pf = _gather(p, axis_name)
+    pf2, grid = sort_particles(pf, cfg, h_pad=h_pad)
+    assert pf2.capacity == pf.capacity  # guaranteed by the % 128 check
+    off = jax.lax.axis_index(axis_name) * nloc
+    p_rows = jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, off, nloc), pf2)
+
+    def ag(a):
+        return jax.lax.all_gather(a, axis_name, tiled=True)
+
+    if cfg.use_pallas:
+        from .ops.pallas_pairs import pallas_density, pallas_forces
+        itp = cfg.pallas_interpret
+        p_rows = pallas_density(pf2, cfg, grid, interpret=itp,
+                                rows=(p_rows, off))
+        p_rows = eos_update(p_rows, cfg)
+        pf2 = pf2.replace(rho=ag(p_rows.rho), pressure=ag(p_rows.pressure),
+                          cs=ag(p_rows.cs), omega=ag(p_rows.omega))
+        acc, du, dalpha = pallas_forces(pf2, cfg, grid, interpret=itp,
+                                        rows=(p_rows, off))
+    else:
+        p_rows = sorted_density(pf2, cfg, grid, rows=(p_rows, off))
+        p_rows = eos_update(p_rows, cfg)
+        pf2 = pf2.replace(rho=ag(p_rows.rho), pressure=ag(p_rows.pressure),
+                          cs=ag(p_rows.cs), omega=ag(p_rows.omega))
+        acc, du, dalpha = sorted_forces(pf2, cfg, grid, rows=(p_rows, off))
+
+    grav_over = jnp.zeros((), jnp.int32)
+    if cfg.gravity == "direct":
+        acc = acc + gas_gravity_direct(p_rows, cfg, cols=pf2)
+    elif cfg.gravity in ("bh", "pm", "treepm"):
+        from .ops.pm_gravity import gas_gravity_pm
+        acc_pm, grav_over = gas_gravity_pm(pf2, cfg, rows=(p_rows, off),
+                                           axis_name=axis_name)
+        acc = acc + acc_pm
+
+    acc_gas_sink, acc_sink = sink_gravity(p_rows, s, axis_name=axis_name)
+    p_rows = p_rows.replace(acc=acc + acc_gas_sink, du=du, dalpha=dalpha)
+    return p_rows, s.replace(acc=acc_sink), (grid, grav_over)
 
 
 def kick(p: Particles, s: Sinks, dt):
@@ -241,7 +321,8 @@ def step(state: SimState, cfg: SimConfig,
     n_unconverged = jnp.zeros((), jnp.int32)
     if cfg.fixed_h is None:
         cols = _gather(p, axis_name) if axis_name else None
-        p, n_unconverged = update_smoothing(p, cfg, cols=cols, grid=grid)
+        p, n_unconverged = update_smoothing(p, cfg, cols=cols, grid=grid,
+                                            axis_name=axis_name)
         s = create_sinks(p, s, cfg, axis_name=axis_name)
 
     p, s = accrete(p, s, axis_name=axis_name)
@@ -249,7 +330,12 @@ def step(state: SimState, cfg: SimConfig,
 
     stats = _coverage_stats(cfg, grid, grav_over, n_unconverged)
     if axis_name is not None:
-        stats = jax.lax.psum(stats, axis_name)
+        if cfg.neighbor_mode == "sorted":
+            # Window counters come from the replicated global sorted grid —
+            # already global; only the h-iteration count is per-shard.
+            stats = stats.at[3].set(jax.lax.psum(stats[3], axis_name))
+        else:
+            stats = jax.lax.psum(stats, axis_name)
 
     if p.capacity != cap0:  # drop the sort's dead pad slots
         p = jax.tree_util.tree_map(lambda a: a[:cap0], p)

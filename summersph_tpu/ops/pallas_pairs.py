@@ -9,15 +9,22 @@ DMAs [fields, W] windows at arbitrary starts, so W only has to cover
 
 Data layout: pair fields are packed [F, N] (field-major, particle minor) in
 sorted order, so each stencil window is one 2-D strided DMA.  The int32 cell
-key rides in an f32 lane via bitcast.  Per grid program:
+key rides in an f32 lane via bitcast.  Per grid program (B = sorted_block
+rows = S = B/window_group window groups):
 
-  * scalar-prefetched window starts [G, 9] (from the same searchsorted
-    machinery as the XLA path),
-  * 9 async copies HBM -> VMEM scratch [9, F, W] (issued together, waited
-    per offset),
-  * the program's own B rows arrive as a pipelined BlockSpec block [F, B],
-  * per offset: [B, W] pair math with the exact per-row key-range mask
-    (ops.sorted_grid disjointness argument), accumulated into [B] outputs.
+  * scalar-prefetched window starts [G, 9] (G = N/window_group, from the
+    same searchsorted machinery as the XLA path),
+  * S x 9 async copies HBM -> VMEM scratch [S, 9, F, W] (issued together,
+    waited per program),
+  * the program's own B rows as one [F, B] copy,
+  * per window group and offset: [window_group, W] pair math with the exact
+    per-row key-range mask (ops.sorted_grid disjointness argument),
+    accumulated into [B] outputs.
+
+Windows per *window group* rather than per program block: each window must
+cover its group's own key span + 2 column occupancies + 128-lane alignment
+slop, so 32-row groups halve the wasted candidate lanes vs 128-row groups
+at equal coverage (measured; see SimConfig.window_group).
 
 Correctness contract: candidates beyond W are *dropped*; the caller checks
 `window_overflow(grid, W)` == 0 (tests assert it) and can raise W via
@@ -47,9 +54,9 @@ _IVX, _IVY, _IVZ, _IP, _IRHO, _IOM, _ICS, _IAL = 6, 7, 8, 9, 10, 11, 12, 13
 FF = 16  # force pack: x y z m h key vx vy vz P rho om cs al pad pad
 
 
-def _pack(p: Particles, grid: SortedGrid, n_fields: int) -> jax.Array:
+def _pack(p: Particles, key: jax.Array, n_fields: int) -> jax.Array:
     """[F, N] field-major pack of the sorted particle fields."""
-    key_f = jax.lax.bitcast_convert_type(grid.key, jnp.float32)
+    key_f = jax.lax.bitcast_convert_type(key, jnp.float32)
     cols = [p.pos[:, 0], p.pos[:, 1], p.pos[:, 2],
             jnp.where(p.alive, p.mass, 0.0), p.h, key_f]
     if n_fields == FF:
@@ -60,14 +67,12 @@ def _pack(p: Particles, grid: SortedGrid, n_fields: int) -> jax.Array:
     return jnp.stack(cols, axis=0)
 
 
-def window_starts(grid: SortedGrid, rows_per_program: int, window: int):
-    """[G, 9] DMA-aligned, clamped window starts.
+def window_starts(grid: SortedGrid, window: int):
+    """[G, 9] DMA-aligned, clamped window starts (G = N / window_group).
 
     Mosaic requires dynamic slice offsets on the minor (lane) dimension to
     be 128-divisible, so starts are rounded down to LANES; `window` must
-    absorb the alignment slop (<= 127) on top of rows + 2 x occupancy.
-    grid.starts/ends are per sorted_block group, so rows_per_program must
-    equal cfg.sorted_block.
+    absorb the alignment slop (<= 127) on top of group span + 2 x occupancy.
     """
     n = grid.key.shape[0]
     starts = (grid.starts // LANES) * LANES
@@ -80,242 +85,291 @@ def window_overflow(grid: SortedGrid, window: int) -> jax.Array:
     return jnp.sum(jnp.maximum(grid.ends - aligned - window, 0))
 
 
-def _issue_window_dmas(starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems,
-                       prog, slot, window: int, b: int):
-    """Start the rows + 9 stencil-window copies for `prog` into `slot`."""
+def _issue_window_dmas(starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr,
+                       rsems, wsems, prog, slot, window: int, b: int,
+                       s_sub: int):
+    """Start the rows + S x 9 stencil-window copies for `prog` into `slot`.
+
+    Rows come from `rows_hbm` (this device's row pack — a slice of the
+    global sorted order under sharding, the whole pack single-chip);
+    windows always come from the full `cols_hbm` pack.
+    """
     pltpu.make_async_copy(
-        cols_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
+        rows_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
         rows_scr.at[slot], rsems.at[slot]).start()
-    for o in range(9):
-        s = pl.multiple_of(starts_ref[prog * 9 + o], 128)
-        pltpu.make_async_copy(
-            cols_hbm.at[:, pl.ds(s, window)], win_scr.at[slot, o],
-            wsems.at[slot, o]).start()
+    for s in range(s_sub):
+        for o in range(9):
+            st = pl.multiple_of(starts_ref[(prog * s_sub + s) * 9 + o], 128)
+            pltpu.make_async_copy(
+                cols_hbm.at[:, pl.ds(st, window)], win_scr.at[slot, s, o],
+                wsems.at[slot, s, o]).start()
 
 
-def _wait_window_dmas(starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems,
-                      prog, slot, window: int, b: int):
+def _wait_window_dmas(starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr,
+                      rsems, wsems, prog, slot, window: int, b: int,
+                      s_sub: int):
     pltpu.make_async_copy(
-        cols_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
+        rows_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
         rows_scr.at[slot], rsems.at[slot]).wait()
-    for o in range(9):
-        s = pl.multiple_of(starts_ref[prog * 9 + o], 128)
-        pltpu.make_async_copy(
-            cols_hbm.at[:, pl.ds(s, window)], win_scr.at[slot, o],
-            wsems.at[slot, o]).wait()
+    for s in range(s_sub):
+        for o in range(9):
+            st = pl.multiple_of(starts_ref[(prog * s_sub + s) * 9 + o], 128)
+            pltpu.make_async_copy(
+                cols_hbm.at[:, pl.ds(st, window)], win_scr.at[slot, s, o],
+                wsems.at[slot, s, o]).wait()
 
 
-def _density_kernel(starts_ref, cols_hbm, out_hbm,
+def _density_kernel(starts_ref, rows_hbm, cols_hbm, out_hbm,
                     rows_scr, win_scr, out_vmem, rsems, wsems, osem,
-                    *, window: int, b: int):
+                    *, window: int, b: int, s_sub: int):
     # Double-buffered across grid programs: program i issues i+1's DMAs
-    # before computing on i's slot, hiding the (9k-copy) DMA latency.
+    # before computing on i's slot, hiding the (S*9 copies) DMA latency.
     i = pl.program_id(0)
     ng = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
     nslot = jax.lax.rem(i + 1, jnp.int32(2))
-    args = (starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems)
+    args = (starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr, rsems, wsems)
 
     @pl.when(i == 0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window=window, b=b)
+        _issue_window_dmas(*args, 0, 0, window=window, b=b, s_sub=s_sub)
 
     @pl.when(i + 1 < ng)
     def _():
-        _issue_window_dmas(*args, i + 1, nslot, window=window, b=b)
+        _issue_window_dmas(*args, i + 1, nslot, window=window, b=b,
+                           s_sub=s_sub)
 
-    _wait_window_dmas(*args, i, slot, window=window, b=b)
+    _wait_window_dmas(*args, i, slot, window=window, b=b, s_sub=s_sub)
     rows_ref = rows_scr.at[slot]
-    scratch = win_scr.at[slot]
+    wg = b // s_sub
 
-    xi = rows_ref[_IX, :]
-    yi = rows_ref[_IY, :]
-    zi = rows_ref[_IZ, :]
-    hi = rows_ref[_IH, :]
-    ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, :], jnp.int32)
+    rho_subs = []
+    om_subs = []
+    for s in range(s_sub):
+        sub = slice(s * wg, (s + 1) * wg)
+        xi = rows_ref[_IX, sub]
+        yi = rows_ref[_IY, sub]
+        zi = rows_ref[_IZ, sub]
+        hi = rows_ref[_IH, sub]
+        ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
 
-    b = xi.shape[0]
-    rho = jnp.zeros((b,), jnp.float32)
-    om = jnp.zeros((b,), jnp.float32)
-    inv_pi_h3 = 1.0 / (PI * hi * hi * hi)
+        rho = jnp.zeros((wg,), jnp.float32)
+        om = jnp.zeros((wg,), jnp.float32)
+        inv_pi_h3 = 1.0 / (PI * hi * hi * hi)
 
-    for o in range(9):
-        xw = scratch[o, _IX, :]
-        yw = scratch[o, _IY, :]
-        zw = scratch[o, _IZ, :]
-        mw = scratch[o, _IM, :]
-        kw = jax.lax.bitcast_convert_type(scratch[o, _IKEY, :], jnp.int32)
+        for o in range(9):
+            scratch = win_scr.at[slot, s]
+            xw = scratch[o, _IX, :]
+            yw = scratch[o, _IY, :]
+            zw = scratch[o, _IZ, :]
+            mw = scratch[o, _IM, :]
+            kw = jax.lax.bitcast_convert_type(scratch[o, _IKEY, :], jnp.int32)
 
-        mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
-                & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
-        dxx = xi[:, None] - xw[None, :]
-        dxy = yi[:, None] - yw[None, :]
-        dxz = zi[:, None] - zw[None, :]
-        r = jnp.sqrt(dxx * dxx + dxy * dxy + dxz * dxz)
-        q = r / hi[:, None]
-        w = w_shape(q)
-        # dW/dh = -(3 W + r dW/dr)/h; dW/dr = dw_shape/(pi h^4)
-        dwdh_shape = -(3.0 * w + q * dw_shape(q))
-        m = jnp.where(mask, mw[None, :], 0.0)
-        rho = rho + jnp.sum(m * w, axis=1) * inv_pi_h3
-        om = om + jnp.sum(m * dwdh_shape, axis=1) * inv_pi_h3 / hi
+            mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
+                    & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+            dxx = xi[:, None] - xw[None, :]
+            dxy = yi[:, None] - yw[None, :]
+            dxz = zi[:, None] - zw[None, :]
+            r = jnp.sqrt(dxx * dxx + dxy * dxy + dxz * dxz)
+            q = r / hi[:, None]
+            w = w_shape(q)
+            # dW/dh = -(3 W + r dW/dr)/h; dW/dr = dw_shape/(pi h^4)
+            dwdh_shape = -(3.0 * w + q * dw_shape(q))
+            m = jnp.where(mask, mw[None, :], 0.0)
+            rho = rho + jnp.sum(m * w, axis=1) * inv_pi_h3
+            om = om + jnp.sum(m * dwdh_shape, axis=1) * inv_pi_h3 / hi
+        rho_subs.append(rho)
+        om_subs.append(om)
 
-    out_vmem[0, :] = rho
-    out_vmem[1, :] = om
+    out_vmem[0, :] = jnp.concatenate(rho_subs)
+    out_vmem[1, :] = jnp.concatenate(om_subs)
     for _pad_row in range(2, 8):
-        out_vmem[_pad_row, :] = jnp.zeros_like(rho)
+        out_vmem[_pad_row, :] = jnp.zeros((b,), jnp.float32)
     ocopy = pltpu.make_async_copy(
         out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
     ocopy.start()
     ocopy.wait()
 
 
+def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
+                n_fields: int, W: int):
+    """(packed_rows, packed_cols, starts_local, n_rows) for a kernel launch.
+
+    rows=None: rows are the whole sorted set.  rows=(p_rows, offset):
+    compute sums only for the `p_rows.capacity` sorted rows starting at
+    `offset` (traced) — this device's contiguous slice of the replicated
+    sorted order under sharding (parallel.sharded).
+    """
+    packed_cols = _pack(p, grid.key, n_fields)
+    starts = window_starts(grid, W).reshape(-1)
+    if rows is None:
+        return packed_cols, packed_cols, starts, p.capacity
+    p_rows, offset = rows
+    n_rows = p_rows.capacity
+    wg = cfg.window_group
+    key_rows = jax.lax.dynamic_slice(grid.key, (offset,), (n_rows,))
+    packed_rows = _pack(p_rows, key_rows, n_fields)
+    starts_local = jax.lax.dynamic_slice(
+        starts, (offset // wg * 9,), (n_rows // wg * 9,))
+    return packed_rows, packed_cols, starts_local, n_rows
+
+
 def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                        interpret: bool = False):
-    """(rho, omega_raw) for the sorted particles via the Pallas kernel."""
+                        interpret: bool = False, rows=None):
+    """(rho, omega_raw) for the sorted particles via the Pallas kernel.
+
+    With rows=(p_rows, offset), sums are computed for that contiguous slice
+    of the sorted order only (columns stay the full set `p`)."""
     n = p.capacity
     B = cfg.sorted_block
+    S = B // cfg.window_group
     W = min(cfg.pallas_window, n)  # window cannot exceed the array
-    G = n // B
-    packed = _pack(p, grid, DF)
-    starts = window_starts(grid, B, W).reshape(-1)  # 1-D: SMEM pads the
-    # minor dim of 2-D scalar operands to 128 lanes (4 MB at 1e6 particles)
+    packed_rows, packed_cols, starts, n_rows = _row_slices(
+        p, cfg, grid, rows, DF, W)
+    G = n_rows // B
+    # starts is 1-D: SMEM pads the minor dim of 2-D scalar operands to 128
+    # lanes (4 MB at 1e6 particles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, DF, B), jnp.float32),
-            pltpu.VMEM((2, 9, DF, W), jnp.float32),
+            pltpu.VMEM((2, S, 9, DF, W), jnp.float32),
             pltpu.VMEM((8, B), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, S, 9)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_density_kernel, window=W, b=B),
-        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        functools.partial(_density_kernel, window=W, b=B, s_sub=S),
+        out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, packed)
+    )(starts, packed_rows, packed_cols)
     return out[0], out[1]
 
 
-def _force_kernel(starts_ref, cols_hbm, out_hbm,
+def _force_kernel(starts_ref, rows_hbm, cols_hbm, out_hbm,
                   rows_scr, win_scr, out_vmem, rsems, wsems, osem, *,
-                  window: int, b: int, av_eps: float, beta_factor: float):
+                  window: int, b: int, s_sub: int, av_eps: float,
+                  beta_factor: float):
     i = pl.program_id(0)
     ng = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
     nslot = jax.lax.rem(i + 1, jnp.int32(2))
-    args = (starts_ref, cols_hbm, rows_scr, win_scr, rsems, wsems)
+    args = (starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr, rsems, wsems)
 
     @pl.when(i == 0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window=window, b=b)
+        _issue_window_dmas(*args, 0, 0, window=window, b=b, s_sub=s_sub)
 
     @pl.when(i + 1 < ng)
     def _():
-        _issue_window_dmas(*args, i + 1, nslot, window=window, b=b)
+        _issue_window_dmas(*args, i + 1, nslot, window=window, b=b,
+                           s_sub=s_sub)
 
-    _wait_window_dmas(*args, i, slot, window=window, b=b)
+    _wait_window_dmas(*args, i, slot, window=window, b=b, s_sub=s_sub)
     rows_ref = rows_scr.at[slot]
-    scratch = win_scr.at[slot]
+    wg = b // s_sub
 
-    def row(idx):
-        return rows_ref[idx, :]
+    acc_subs = []
+    for s in range(s_sub):
+        sub = slice(s * wg, (s + 1) * wg)
 
-    xi, yi, zi = row(_IX), row(_IY), row(_IZ)
-    vxi, vyi, vzi = row(_IVX), row(_IVY), row(_IVZ)
-    hi, pi_, rhoi = row(_IH), row(_IP), row(_IRHO)
-    omi, csi, ali = row(_IOM), row(_ICS), row(_IAL)
-    ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, :], jnp.int32)
+        def row(idx, _sub=sub):
+            return rows_ref[idx, _sub]
 
-    b = xi.shape[0]
-    ax = jnp.zeros((b,), jnp.float32)
-    ay = jnp.zeros((b,), jnp.float32)
-    az = jnp.zeros((b,), jnp.float32)
-    du = jnp.zeros((b,), jnp.float32)
-    ar = jnp.zeros((b,), jnp.float32)
+        xi, yi, zi = row(_IX), row(_IY), row(_IZ)
+        vxi, vyi, vzi = row(_IVX), row(_IVY), row(_IVZ)
+        hi, pi_, rhoi = row(_IH), row(_IP), row(_IRHO)
+        omi, csi, ali = row(_IOM), row(_ICS), row(_IAL)
+        ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
 
-    pterm_i = pi_ / (omi * rhoi * rhoi)
-    inv_pi_hi4 = 1.0 / (PI * hi * hi * hi * hi)
+        ax = jnp.zeros((wg,), jnp.float32)
+        ay = jnp.zeros((wg,), jnp.float32)
+        az = jnp.zeros((wg,), jnp.float32)
+        du = jnp.zeros((wg,), jnp.float32)
+        ar = jnp.zeros((wg,), jnp.float32)
 
-    for o in range(9):
-        def col(idx, _o=o):
-            return scratch[_o, idx, :]
+        pterm_i = pi_ / (omi * rhoi * rhoi)
+        inv_pi_hi4 = 1.0 / (PI * hi * hi * hi * hi)
 
-        xw, yw, zw = col(_IX), col(_IY), col(_IZ)
-        mw, hw = col(_IM), col(_IH)
-        vxw, vyw, vzw = col(_IVX), col(_IVY), col(_IVZ)
-        pw, rhow, omw = col(_IP), col(_IRHO), col(_IOM)
-        csw, alw = col(_ICS), col(_IAL)
-        kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
+        for o in range(9):
+            def col(idx, _o=o, _s=s):
+                return win_scr[slot, _s, _o, idx, :]
 
-        mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
-                & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+            xw, yw, zw = col(_IX), col(_IY), col(_IZ)
+            mw, hw = col(_IM), col(_IH)
+            vxw, vyw, vzw = col(_IVX), col(_IVY), col(_IVZ)
+            pw, rhow, omw = col(_IP), col(_IRHO), col(_IOM)
+            csw, alw = col(_ICS), col(_IAL)
+            kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
 
-        dxx = xi[:, None] - xw[None, :]
-        dxy = yi[:, None] - yw[None, :]
-        dxz = zi[:, None] - zw[None, :]
-        r2 = dxx * dxx + dxy * dxy + dxz * dxz
-        r = jnp.sqrt(r2)
-        valid = mask & (r > 0.0)
-        inv_r = jnp.where(valid, 1.0 / jnp.where(valid, r, 1.0), 0.0)
+            mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
+                    & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
 
-        dw_i = dw_shape(r * (1.0 / hi)[:, None]) * inv_pi_hi4[:, None]
-        hw4 = hw * hw * hw * hw
-        dw_j = dw_shape(r / hw[None, :]) / (PI * hw4)[None, :]
-        dwbar = 0.5 * (dw_i + dw_j)
+            dxx = xi[:, None] - xw[None, :]
+            dxy = yi[:, None] - yw[None, :]
+            dxz = zi[:, None] - zw[None, :]
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            r = jnp.sqrt(r2)
+            valid = mask & (r > 0.0)
+            inv_r = jnp.where(valid, 1.0 / jnp.where(valid, r, 1.0), 0.0)
 
-        vx = vxi[:, None] - vxw[None, :]
-        vy = vyi[:, None] - vyw[None, :]
-        vz = vzi[:, None] - vzw[None, :]
-        vdotr = vx * dxx + vy * dxy + vz * dxz
-        vdotr_neg = jnp.minimum(vdotr, 0.0)
+            dw_i = dw_shape(r * (1.0 / hi)[:, None]) * inv_pi_hi4[:, None]
+            hw4 = hw * hw * hw * hw
+            dw_j = dw_shape(r / hw[None, :]) / (PI * hw4)[None, :]
+            dwbar = 0.5 * (dw_i + dw_j)
 
-        hbar = 0.5 * (hi[:, None] + hw[None, :])
-        mu = hbar * vdotr_neg / (r2 + av_eps * hbar * hbar)
-        cbar = 0.5 * (csi[:, None] + csw[None, :])
-        abar = 0.5 * (ali[:, None] + alw[None, :])
-        rhobar = 0.5 * (rhoi[:, None] + rhow[None, :])
-        visc = jnp.where(
-            valid & (rhobar > 0.0),
-            (-abar * cbar * mu + beta_factor * abar * mu * mu)
-            / jnp.where(rhobar > 0.0, rhobar, 1.0),
-            0.0)
+            vx = vxi[:, None] - vxw[None, :]
+            vy = vyi[:, None] - vyw[None, :]
+            vz = vzi[:, None] - vzw[None, :]
+            vdotr = vx * dxx + vy * dxy + vz * dxz
+            vdotr_neg = jnp.minimum(vdotr, 0.0)
 
-        denom_j = omw * rhow * rhow
-        pterm_j = jnp.where(denom_j[None, :] != 0.0,
-                            pw[None, :] / jnp.where(denom_j != 0.0, denom_j,
-                                                    1.0)[None, :],
-                            0.0)
+            hbar = 0.5 * (hi[:, None] + hw[None, :])
+            mu = hbar * vdotr_neg / (r2 + av_eps * hbar * hbar)
+            cbar = 0.5 * (csi[:, None] + csw[None, :])
+            abar = 0.5 * (ali[:, None] + alw[None, :])
+            rhobar = 0.5 * (rhoi[:, None] + rhow[None, :])
+            visc = jnp.where(
+                valid & (rhobar > 0.0),
+                (-abar * cbar * mu + beta_factor * abar * mu * mu)
+                / jnp.where(rhobar > 0.0, rhobar, 1.0),
+                0.0)
 
-        m = jnp.where(valid, mw[None, :], 0.0)
-        scal = pterm_i[:, None] * dw_i + pterm_j * dw_j + visc * dwbar
-        coef = -m * scal * inv_r
-        ax = ax + jnp.sum(coef * dxx, axis=1)
-        ay = ay + jnp.sum(coef * dxy, axis=1)
-        az = az + jnp.sum(coef * dxz, axis=1)
+            denom_j = omw * rhow * rhow
+            pterm_j = jnp.where(denom_j[None, :] != 0.0,
+                                pw[None, :] / jnp.where(denom_j != 0.0,
+                                                        denom_j,
+                                                        1.0)[None, :],
+                                0.0)
 
-        vdotgradw = vdotr * inv_r * dwbar
-        du = du + jnp.sum(m * vdotgradw * (pterm_i[:, None] + 0.5 * visc),
-                          axis=1)
-        ar = ar + jnp.sum(m * vdotgradw, axis=1)
+            m = jnp.where(valid, mw[None, :], 0.0)
+            scal = pterm_i[:, None] * dw_i + pterm_j * dw_j + visc * dwbar
+            coef = -m * scal * inv_r
+            ax = ax + jnp.sum(coef * dxx, axis=1)
+            ay = ay + jnp.sum(coef * dxy, axis=1)
+            az = az + jnp.sum(coef * dxz, axis=1)
 
-    out_vmem[0, :] = ax
-    out_vmem[1, :] = ay
-    out_vmem[2, :] = az
-    out_vmem[3, :] = du
-    out_vmem[4, :] = ar
+            vdotgradw = vdotr * inv_r * dwbar
+            du = du + jnp.sum(m * vdotgradw * (pterm_i[:, None] + 0.5 * visc),
+                              axis=1)
+            ar = ar + jnp.sum(m * vdotgradw, axis=1)
+        acc_subs.append((ax, ay, az, du, ar))
+
+    for c in range(5):
+        out_vmem[c, :] = jnp.concatenate([t[c] for t in acc_subs])
     for _pad_row in range(5, 8):
-        out_vmem[_pad_row, :] = jnp.zeros_like(ax)
+        out_vmem[_pad_row, :] = jnp.zeros((b,), jnp.float32)
     ocopy = pltpu.make_async_copy(
         out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
     ocopy.start()
@@ -323,59 +377,71 @@ def _force_kernel(starts_ref, cols_hbm, out_hbm,
 
 
 def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                      interpret: bool = False):
-    """(ax, ay, az, du, alpha_raw) for the sorted particles."""
+                      interpret: bool = False, rows=None):
+    """(ax, ay, az, du, alpha_raw) for the sorted particles (or the
+    rows=(p_rows, offset) slice of them)."""
     n = p.capacity
     B = cfg.sorted_block
+    S = B // cfg.window_group
     W = min(cfg.pallas_window, n)  # window cannot exceed the array
-    G = n // B
-    packed = _pack(p, grid, FF)
-    starts = window_starts(grid, B, W).reshape(-1)
+    packed_rows, packed_cols, starts, n_rows = _row_slices(
+        p, cfg, grid, rows, FF, W)
+    G = n_rows // B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, FF, B), jnp.float32),
-            pltpu.VMEM((2, 9, FF, W), jnp.float32),
+            pltpu.VMEM((2, S, 9, FF, W), jnp.float32),
             pltpu.VMEM((8, B), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, S, 9)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_force_kernel, window=W, b=B, av_eps=cfg.av_eps,
+        functools.partial(_force_kernel, window=W, b=B, s_sub=S,
+                          av_eps=cfg.av_eps,
                           beta_factor=cfg.beta_factor),
-        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, packed)
+    )(starts, packed_rows, packed_cols)
     return out[0], out[1], out[2], out[3], out[4]
 
 
 def pallas_density(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                   interpret: bool = False) -> Particles:
-    """Drop-in for sorted_density on the Pallas path."""
-    rho, omega_raw = pallas_density_sums(p, cfg, grid, interpret=interpret)
-    rho, omega = pairs.finalize_density(rho, omega_raw, p.h, p.alive)
+                   interpret: bool = False, rows=None) -> Particles:
+    """Drop-in for sorted_density on the Pallas path.
+
+    Returns the updated rows particle set: `p` itself, or `rows[0]` when a
+    (p_rows, offset) slice is given."""
+    rho, omega_raw = pallas_density_sums(p, cfg, grid, interpret=interpret,
+                                         rows=rows)
+    tgt = p if rows is None else rows[0]
+    rho, omega = pairs.finalize_density(rho, omega_raw, tgt.h, tgt.alive)
     if cfg.fixed_h is not None:
         omega = jnp.ones_like(omega)
-    return p.replace(rho=rho, omega=omega)
+    return tgt.replace(rho=rho, omega=omega)
 
 
 def pallas_forces(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                  interpret: bool = False):
-    """Drop-in for sorted_forces on the Pallas path."""
-    ax, ay, az, du, araw = pallas_force_sums(p, cfg, grid, interpret=interpret)
+                  interpret: bool = False, rows=None):
+    """Drop-in for sorted_forces on the Pallas path (row-sliced like
+    pallas_density when rows is given)."""
+    ax, ay, az, du, araw = pallas_force_sums(p, cfg, grid, interpret=interpret,
+                                             rows=rows)
+    tgt = p if rows is None else rows[0]
     acc = jnp.stack([ax, ay, az], axis=-1)
-    dalpha = pairs.alpha_rate(araw, p.rho, p.alpha, p.cs, p.h, cfg)
-    alive = p.alive
+    dalpha = pairs.alpha_rate(araw, tgt.rho, tgt.alpha, tgt.cs, tgt.h, cfg)
+    alive = tgt.alive
     return (jnp.where(alive[:, None], acc, 0.0),
             jnp.where(alive, du, 0.0),
             jnp.where(alive, dalpha, 0.0))

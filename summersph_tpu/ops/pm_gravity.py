@@ -111,11 +111,17 @@ def _fd4_gradient(phi, cell):
     return comps
 
 
-def pm_long_range(p: Particles, cfg: SimConfig):
+def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
+                  axis_name: str | None = None):
     """Gaussian-filtered long-range gravitational acceleration (CIC-PM).
 
     Returns (acc [N,3], origin, cell, r_s) — r_s is the split scale the
     short-range pass must complement.
+
+    Sharded (rows=(p_rows, offset), axis_name set): `p` is the replicated
+    full set (box sizing), each device deposits only its `p_rows` slice,
+    the partial meshes are psum-merged into the global mass distribution,
+    and the returned acc is CIC-gathered at the local rows only.
     """
     n = cfg.grav_grid
     npad = 2 * n  # isolated (vacuum) BCs: zero-pad the mass to 2x per axis
@@ -133,8 +139,11 @@ def pm_long_range(p: Particles, cfg: SimConfig):
     origin = lo - 1.5 * cell
     r_s = cfg.grav_split_rs * cell
 
-    m = jnp.where(p.alive, p.mass, 0.0)
-    rho = _cic_deposit(p.pos, m, origin, cell, n) / cell ** 3
+    p_dep = p if rows is None else rows[0]
+    m = jnp.where(p_dep.alive, p_dep.mass, 0.0)
+    rho = _cic_deposit(p_dep.pos, m, origin, cell, n) / cell ** 3
+    if axis_name is not None:
+        rho = jax.lax.psum(rho, axis_name)
 
     rho_pad = jnp.zeros((npad, npad, npad), rho.dtype).at[:n, :n, :n].set(rho)
     rho_k = jnp.fft.rfftn(rho_pad)
@@ -145,31 +154,42 @@ def pm_long_range(p: Particles, cfg: SimConfig):
     # sampled on the padded grid with wrapped displacements.  (The naive
     # -4 pi G / k^2 would impose periodic images at the padded box scale —
     # measured as a few-percent force deficit.)
-    idx = jnp.arange(npad)
-    d1 = jnp.where(idx <= npad // 2, idx, idx - npad).astype(rho.dtype) * cell
-    r_grid = jnp.sqrt(d1[:, None, None] ** 2 + d1[None, :, None] ** 2
-                      + d1[None, None, :] ** 2)
-    r_safe = jnp.maximum(r_grid, 1.0e-30)
-    kern = -G * jax.scipy.special.erf(r_safe / (2.0 * r_s)) / r_safe
-    kern = kern.at[0, 0, 0].set(-G / (r_s * jnp.sqrt(PI)))
-    kern_k = jnp.fft.rfftn(kern * cell ** 3)  # volume factor: DFT -> integral
+    #
+    # Scale-free form: with r_s fixed in *cell units* (r_s = grav_split_rs
+    # * cell), phi_point(q * cell) = (1/cell) * K(q) where
+    # K(q) = -G erf(q / (2 grav_split_rs)) / q is dimensionless — so its
+    # padded-grid FFT, and the CIC deconvolution, are compile-time numpy
+    # constants (the box rescales every step as the particles move, but K_k
+    # never does).  This removes a third npad^3 FFT + an npad^3 erf from
+    # every evaluation (measured ~half of pm_long_range's runtime).
+    import numpy as np
+    idx = np.arange(npad)
+    d1 = np.where(idx <= npad // 2, idx, idx - npad).astype(np.float64)
+    q_grid = np.sqrt(d1[:, None, None] ** 2 + d1[None, :, None] ** 2
+                     + d1[None, None, :] ** 2)
+    q_safe = np.maximum(q_grid, 1.0e-30)
+    from scipy.special import erf as np_erf
+    kq = -G * np_erf(q_safe / (2.0 * cfg.grav_split_rs)) / q_safe
+    kq[0, 0, 0] = -G / (cfg.grav_split_rs * float(np.sqrt(np.pi)))
 
     # Deconvolve the CIC assignment window twice (deposit + interpolation):
-    # W_CIC(k) = prod_i sinc^2(k_i cell / 2).  The Gaussian split suppresses
-    # high k, so the division is well-conditioned.
-    kx = jnp.fft.fftfreq(npad) * (2.0 * PI / cell)
-    kz = jnp.fft.rfftfreq(npad) * (2.0 * PI / cell)
+    # W_CIC(k) = prod_i sinc^2(k_i cell / 2), also scale-free in cell units.
+    kxq = np.fft.fftfreq(npad) * np.pi  # k * cell / 2 on the padded grid
+    kzq = np.fft.rfftfreq(npad) * np.pi
 
-    def sinc2(k):
-        x = k * cell / 2.0
-        s = jnp.where(jnp.abs(x) > 1.0e-6, jnp.sin(x) / jnp.where(
-            jnp.abs(x) > 1.0e-6, x, 1.0), 1.0)
+    def sinc2(x):
+        s = np.where(np.abs(x) > 1.0e-6,
+                     np.sin(x) / np.where(np.abs(x) > 1.0e-6, x, 1.0), 1.0)
         return s * s
-    w_cic = (sinc2(kx)[:, None, None] * sinc2(kx)[None, :, None]
-             * sinc2(kz)[None, None, :])
-    deconv = 1.0 / jnp.maximum(w_cic * w_cic, 0.05)
+    w_cic = (sinc2(kxq)[:, None, None] * sinc2(kxq)[None, :, None]
+             * sinc2(kzq)[None, None, :])
+    cdtype = np.complex128 if p.pos.dtype == jnp.float64 else np.complex64
+    kern_k_const = jnp.asarray(
+        (np.fft.rfftn(kq) / np.maximum(w_cic * w_cic, 0.05)).astype(cdtype))
 
-    phi_k = rho_k * kern_k * deconv.astype(rho_k.dtype)
+    # Dimensions restored at runtime: kern = K/cell, DFT->integral volume
+    # factor cell^3 => phi_k = rho_k * K_k * cell^2.
+    phi_k = rho_k * kern_k_const * (cell * cell)
 
     if cfg.grav_gradient == "fd":
         # One inverse FFT + cheap stencils; the Gaussian split suppresses
@@ -180,18 +200,21 @@ def pm_long_range(p: Particles, cfg: SimConfig):
         gx, gy, gz = _fd4_gradient(phi, cell)
     else:
         # Exact spectral gradient F(k) = -i k phi(k).
+        kx = (jnp.fft.fftfreq(npad).astype(p.pos.dtype) * (2.0 * PI)) / cell
+        kz = (jnp.fft.rfftfreq(npad).astype(p.pos.dtype) * (2.0 * PI)) / cell
+
         def spectral_force(kvec_bcast):
             return jnp.fft.irfftn((-1j) * kvec_bcast * phi_k,
                                   s=(npad, npad, npad))
-        gx = spectral_force(kx[:, None, None].astype(jnp.float32))
-        gy = spectral_force(kx[None, :, None].astype(jnp.float32))
-        gz = spectral_force(kz[None, None, :].astype(jnp.float32))
+        gx = spectral_force(kx[:, None, None])
+        gy = spectral_force(kx[None, :, None])
+        gz = spectral_force(kz[None, None, :])
 
     force = jnp.stack([gx[:n, :n, :n], gy[:n, :n, :n], gz[:n, :n, :n]],
                       axis=-1)
 
-    acc = _cic_gather(force, p.pos, origin, cell, n)
-    acc = jnp.where(p.alive[:, None], acc.astype(p.pos.dtype), 0.0)
+    acc = _cic_gather(force, p_dep.pos, origin, cell, n)
+    acc = jnp.where(p_dep.alive[:, None], acc.astype(p.pos.dtype), 0.0)
     return acc, origin, cell, r_s
 
 
@@ -202,19 +225,29 @@ def _short_factor(r, h_i, r_s):
     return grav_softening(r, h_i) - s
 
 
-def pm_short_range(p: Particles, cfg: SimConfig, r_s):
+def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
+                   axis_name: str | None = None):
     """Direct complementary pair force within r_cut, via gravity-sized
     sorted windows.  `p` may be in any order; output matches its order.
 
     Runs on a slim 7-operand sort (key, x, y, z, m, h, source index) —
     the gravity pass needs no other fields, and multi-operand lax.sort cost
-    scales with operand count.  Returns (acc [N,3], n_window_overflow).
+    scales with operand count.  Returns (acc, n_window_overflow); acc is
+    [N,3] in p's order, or the (offset, n_rows) slice of that order when
+    rows=(p_rows, offset) is given.
+
+    Sharded: `p` is the replicated full set; the gravity sort is replicated
+    and each device computes the pair sums for its 1/D contiguous slice of
+    the *gravity-sorted* order (a different partition than the caller's SPH
+    rows — work split, not data locality).  The per-device partial results
+    are scattered back to p's order and psum-merged, then sliced to the
+    caller's rows.
     """
     r_cut = cfg.effective_rcut_rs() * r_s
     dtype = p.pos.dtype
 
     cap = _pad_to(p.capacity, max(cfg.sorted_block, LANES))
-    B = cfg.sorted_block
+    B = cfg.window_group
     Gn = cap // B
     R = cap // LANES
 
@@ -260,26 +293,48 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s):
     m2 = ms.reshape(R, LANES)
     k2 = key_s.reshape(R, LANES)
 
-    xi = xs.reshape(Gn, B, 1)
-    yi = ys.reshape(Gn, B, 1)
-    zi = zs.reshape(Gn, B, 1)
-    hi = hs.reshape(Gn, B, 1)
-    ki = key_s.reshape(Gn, B, 1)
+    if rows is None:
+        off_g, nloc = 0, cap
 
-    sb = starts // LANES
-    z = jnp.zeros((Gn, B), dtype)
+        def loc(a):
+            return a
+    else:
+        # Work-split the gravity-sorted rows 1/D per device (D from the
+        # static capacities; the slice indices are traced via axis_index).
+        n_shards = p.capacity // rows[0].capacity
+        nloc = cap // n_shards
+        if nloc % B:
+            raise ValueError(
+                f"sharded PM gravity needs the padded capacity ({cap}) to "
+                f"split into window groups per device (window_group={B}, "
+                f"devices={n_shards})")
+        off_g = jax.lax.axis_index(axis_name) * nloc
+
+        def loc(a):
+            return jax.lax.dynamic_slice_in_dim(a, off_g, nloc)
+
+    Gl = nloc // B
+    xi = loc(xs).reshape(Gl, B, 1)
+    yi = loc(ys).reshape(Gl, B, 1)
+    zi = loc(zs).reshape(Gl, B, 1)
+    hi = loc(hs).reshape(Gl, B, 1)
+    ki = loc(key_s).reshape(Gl, B, 1)
+
+    sb = (jax.lax.dynamic_slice_in_dim(starts, off_g // B, Gl)
+          if rows is not None else starts) // LANES
+    z = jnp.zeros((Gl, B), dtype)
     ax, ay, az = z, z, z
     lane = jnp.arange(LANES, dtype=jnp.int32)[None, :]
     for o in range(9):
         lo = ki + (PLANE_OFFSETS[o] - 1)
         hi_k = ki + (PLANE_OFFSETS[o] + 1)
         for blk in range(cfg.grav_window_blocks):
-            rows = jnp.clip(sb[:, o] + blk, 0, R - 1)
-            cx = x2[rows][:, None, :]
-            cy = y2[rows][:, None, :]
-            cz = z2[rows][:, None, :]
-            cm = m2[rows][:, None, :]
-            kj = k2[rows][:, None, :]
+            brows = jnp.clip(sb[:, o] + blk, 0, R - 1)
+            cx = x2[brows][:, None, :]
+            cy = y2[brows][:, None, :]
+            cz = z2[brows][:, None, :]
+            cm = m2[brows][:, None, :]
+            kj = k2[brows][:, None, :]
             gi = ((sb[:, o, None] + blk) * LANES + lane)[:, None, :]
             mask = (kj >= lo) & (kj <= hi_k) & (gi >= 0) & (gi < cap)
 
@@ -299,31 +354,37 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s):
     # Un-permute to the caller's order: scatter each sorted row's force to
     # its source slot (dead pad rows carry src == -1, dropped).
     acc = jnp.zeros((p.capacity, 3), dtype)
-    acc = acc.at[src].set(
-        jnp.stack([ax.reshape(cap), ay.reshape(cap), az.reshape(cap)],
+    acc = acc.at[loc(src)].set(
+        jnp.stack([ax.reshape(nloc), ay.reshape(nloc), az.reshape(nloc)],
                   axis=-1), mode="drop")
-    acc = jnp.where(p.alive[:, None], acc, 0.0)
-    return acc, n_over
+    if rows is None:
+        return jnp.where(p.alive[:, None], acc, 0.0), n_over
+    # Merge the per-device partial scatters, then hand back the caller's
+    # own (SPH-order) row slice.
+    acc = jax.lax.psum(acc, axis_name)
+    p_rows, offset = rows
+    acc = jax.lax.dynamic_slice_in_dim(acc, offset, p_rows.capacity, axis=0)
+    return jnp.where(p_rows.alive[:, None], acc, 0.0), n_over
 
 
-def gas_gravity_pm(p: Particles, cfg: SimConfig,
-                   cols: Particles | None = None):
-    """Full PM + short-range self-gravity for the row particles.
+def gas_gravity_pm(p: Particles, cfg: SimConfig, rows=None,
+                   axis_name: str | None = None):
+    """Full PM + short-range self-gravity.
 
-    Returns (acc [N,3], n_window_overflow int32 — 0 means the short-range
+    `p` is the full particle set (replicated under sharding); with
+    rows=(p_rows, offset) the returned acc covers only that contiguous
+    slice of p's order — the device's shard.  Sharded runs psum the CIC
+    mesh (long range) and the scattered partial pair sums (short range),
+    so every device sees the global mass distribution.
+
+    Returns (acc, n_window_overflow int32 — 0 means the short-range
     windows covered every candidate; nonzero means dropped pairs, surfaced
     through SimState.stats).
-
-    `cols` (multi-chip all-gathered set) is not yet supported — the PM mesh
-    needs the global mass distribution; the sharded path falls back to
-    direct gravity for now.
     """
-    if cols is not None:
-        raise NotImplementedError(
-            "PM gravity under shard_map: deposit/solve on replicated mesh "
-            "not wired yet; use gravity='direct' in sharded runs")
-    acc_long, _, _, r_s = pm_long_range(p, cfg)
-    acc_short, n_over = pm_short_range(p, cfg, r_s)
+    acc_long, _, _, r_s = pm_long_range(p, cfg, rows=rows,
+                                        axis_name=axis_name)
+    acc_short, n_over = pm_short_range(p, cfg, r_s, rows=rows,
+                                       axis_name=axis_name)
     return acc_long + acc_short, n_over
 
 

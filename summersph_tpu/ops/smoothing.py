@@ -49,19 +49,26 @@ def _newton(h, rho, omega, m, eta):
 
 
 def update_smoothing(p: Particles, cfg: SimConfig,
-                     cols: Particles | None = None, grid=None):
+                     cols: Particles | None = None, grid=None,
+                     axis_name: str | None = None):
     """Newton-iterate h on `p`.
 
     `grid` is the step's sorted-window structure (ops.sorted_grid) for the
     shared-sort fast path: `p` must already be in that grid's sorted order
-    with rho/omega freshly computed (force_eval guarantees both).  Otherwise
-    `cols` is the neighbour pool (multi-chip: rows = local shard, cols =
-    all-gathered global set) and a hashed grid is built here.
+    with rho/omega freshly computed (force_eval guarantees both).  Under
+    sharding (`axis_name` set) `p` is this device's contiguous slice of
+    that order and `cols` (the tiled all_gather of the shards) is the full
+    sorted set the re-summations read their neighbours from.  Without a
+    grid, `cols` is the neighbour pool and a hashed grid is built here.
 
     Returns (particles, n_unconverged int32).
     """
-    if grid is not None and cfg.neighbor_mode == "sorted" and cols is None:
-        return _update_smoothing_shared(p, cfg, grid)
+    if grid is not None and cfg.neighbor_mode == "sorted":
+        if cols is None:
+            return _update_smoothing_shared(p, cfg, grid)
+        offset = jax.lax.axis_index(axis_name) * p.capacity
+        return _update_smoothing_shared(p, cfg, grid, cols=cols,
+                                        offset=offset)
     if cfg.neighbor_mode == "sorted" and cols is None:
         return _update_smoothing_sorted(p, cfg)
     cols = cols if cols is not None else p
@@ -105,12 +112,16 @@ def _newton_scan(p: Particles, cfg: SimConfig, dens, h_cap,
     return p_out, n_open.astype(jnp.int32)
 
 
-def _update_smoothing_shared(p: Particles, cfg: SimConfig, grid):
+def _update_smoothing_shared(p: Particles, cfg: SimConfig, grid,
+                             cols: Particles | None = None, offset=None):
     """Fast path: reuse the step's sorted grid AND its rho/omega.
 
     No sort, and the first Newton update consumes the force evaluation's
     density — `cfg.h_iter_max` iterations cost `h_iter_max - 1` density
-    re-summations.
+    re-summations.  With `cols`/`offset`, rows are the (p, offset) slice of
+    the full sorted set `cols` (sharded runs); the iteration only changes
+    the rows' h, and rho_i depends on h_i alone (gather formulation), so
+    the replicated columns stay valid throughout.
     """
     from .sorted_grid import sorted_density
     vcfg = cfg.with_(fixed_h=None)
@@ -119,10 +130,17 @@ def _update_smoothing_shared(p: Particles, cfg: SimConfig, grid):
         from .pallas_pairs import pallas_density
 
         def dens(q):
-            return pallas_density(q, vcfg, grid)
+            if cols is None:
+                return pallas_density(q, vcfg, grid,
+                                      interpret=cfg.pallas_interpret)
+            return pallas_density(cols, vcfg, grid,
+                                  interpret=cfg.pallas_interpret,
+                                  rows=(q, offset))
     else:
         def dens(q):
-            return sorted_density(q, vcfg, grid)
+            if cols is None:
+                return sorted_density(q, vcfg, grid)
+            return sorted_density(cols, vcfg, grid, rows=(q, offset))
 
     h_cap = jnp.minimum(cfg.max_length, grid.cell_size / 2.0)
     return _newton_scan(p, cfg, dens, h_cap, resum_first=False)
@@ -144,7 +162,8 @@ def _update_smoothing_sorted(p: Particles, cfg: SimConfig):
         from .pallas_pairs import pallas_density
 
         def dens(q):
-            return pallas_density(q, vcfg, grid)
+            return pallas_density(q, vcfg, grid,
+                                  interpret=cfg.pallas_interpret)
     else:
         def dens(q):
             return sorted_density(q, vcfg, grid)

@@ -14,10 +14,16 @@ around them — the TPU translation of the reference's octree walk
    sort to the end);
 2. in sorted order, the neighbours of any cell at (dx, dy) offset occupy a
    *contiguous key range* of 3 z-cells: [key + dx KX + dy KY - 1, ... + 1];
-3. rows are processed in groups of `cfg.sorted_block` consecutive sorted
+3. rows are processed in groups of `cfg.window_group` consecutive sorted
    particles; each group's 9 (dx, dy) candidate windows are found with two
    searchsorted calls and gathered as `cfg.window_blocks` 128-row-aligned
-   slices — no random gathers anywhere;
+   slices — no random gathers anywhere.  (The window group is deliberately
+   smaller than the Pallas program block `cfg.sorted_block`: a window must
+   cover its group's own key span plus two 3-cell column occupancies plus
+   DMA alignment slop, so shrinking the group from 128 to 32 rows roughly
+   halves the candidate lanes per row at equal coverage — measured on ball
+   geometry, N-independent.  Pallas programs sub-block their rows into
+   sorted_block/window_group window groups.);
 4. candidate membership is decided per row by an exact key-range test:
    candidate j belongs to row i's offset-o stencil iff
    key_i + off - 1 <= key_j <= key_i + off + 1.  These per-row ranges are
@@ -60,7 +66,7 @@ LANES = 128
 @struct.dataclass
 class SortedGrid:
     key: jax.Array          # [Np] int32 sorted cell keys (padded; dead = sentinel)
-    starts: jax.Array       # [G, 9] int32 window start (particle index)
+    starts: jax.Array       # [G, 9] int32 window start (G = Np / window_group)
     ends: jax.Array         # [G, 9] int32 window end (exclusive, <= first dead)
     origin: jax.Array       # [3]
     cell_size: jax.Array    # scalar
@@ -109,6 +115,11 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
     """
     cap = p.capacity
     B = cfg.sorted_block
+    wg = cfg.window_group
+    if B % wg or LANES % wg:
+        raise ValueError(
+            f"cfg.window_group ({wg}) must divide both cfg.sorted_block "
+            f"({B}) and {LANES} so window groups tile the padded capacity")
     padded = _pad_to(cap, max(B, LANES))
     if padded != cap:
         base = Particles.zeros(padded, p.pos.dtype)
@@ -152,9 +163,9 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
                     **rest, **{f: zero for f in _ZERO_FIELDS})
 
     # Group stencil windows.
-    G = cap // B
-    kmin = key_s.reshape(G, B)[:, 0]
-    kmax = key_s.reshape(G, B)[:, -1]
+    G = cap // wg
+    kmin = key_s.reshape(G, wg)[:, 0]
+    kmax = key_s.reshape(G, wg)[:, -1]
     first_dead = jnp.searchsorted(key_s, SENTINEL_KEY, side="left"
                                   ).astype(jnp.int32)
     offs = jnp.asarray(PLANE_OFFSETS, jnp.int32)                 # [9]
@@ -191,12 +202,29 @@ def _gi_valid(sb, blk, cap):
     return ((gi >= 0) & (gi < cap))[:, None, :]
 
 
+def _rows_view(p: Particles, cfg: SimConfig, grid: SortedGrid, rows):
+    """(p_rows, key_rows, starts_rows, n_rows): the row-side arrays for a
+    pair pass — the whole sorted set (rows=None) or this device's
+    contiguous (p_rows, offset) slice of it (parallel.sharded)."""
+    if rows is None:
+        return p, grid.key, grid.starts, p.capacity
+    p_rows, offset = rows
+    n_rows = p_rows.capacity
+    wg = cfg.window_group
+    key_rows = jax.lax.dynamic_slice(grid.key, (offset,), (n_rows,))
+    starts_rows = jax.lax.dynamic_slice_in_dim(
+        grid.starts, offset // wg, n_rows // wg)
+    return p_rows, key_rows, starts_rows, n_rows
+
+
 def sorted_density(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                   ) -> Particles:
-    """Density + Omega over the sorted windows (rows == cols == p, sorted)."""
+                   rows=None) -> Particles:
+    """Density + Omega over the sorted windows (cols = p, sorted; rows = p
+    or its rows=(p_rows, offset) slice).  Returns the updated row set."""
     cap = p.capacity
-    B = cfg.sorted_block
-    G = cap // B
+    B = cfg.window_group
+    pr, key_r, starts_r, n_rows = _rows_view(p, cfg, grid, rows)
+    G = n_rows // B
     R = cap // LANES
 
     x2 = p.pos[:, 0].reshape(R, LANES)
@@ -205,13 +233,13 @@ def sorted_density(p: Particles, cfg: SimConfig, grid: SortedGrid,
     m2 = jnp.where(p.alive, p.mass, 0.0).reshape(R, LANES)
     k2 = grid.key.reshape(R, LANES)
 
-    xi = p.pos[:, 0].reshape(G, B, 1)
-    yi = p.pos[:, 1].reshape(G, B, 1)
-    zi = p.pos[:, 2].reshape(G, B, 1)
-    hi = p.h.reshape(G, B, 1)
-    ki = grid.key.reshape(G, B, 1)
+    xi = pr.pos[:, 0].reshape(G, B, 1)
+    yi = pr.pos[:, 1].reshape(G, B, 1)
+    zi = pr.pos[:, 2].reshape(G, B, 1)
+    hi = pr.h.reshape(G, B, 1)
+    ki = key_r.reshape(G, B, 1)
 
-    sb = grid.starts // LANES
+    sb = starts_r // LANES
     rho = jnp.zeros((G, B), p.pos.dtype)
     omega_raw = jnp.zeros((G, B), p.pos.dtype)
     for o in range(9):
@@ -229,20 +257,22 @@ def sorted_density(p: Particles, cfg: SimConfig, grid: SortedGrid,
             omega_raw = omega_raw + w
 
     rho, omega = pairs.finalize_density(
-        rho.reshape(cap), omega_raw.reshape(cap), p.h, p.alive)
+        rho.reshape(n_rows), omega_raw.reshape(n_rows), pr.h, pr.alive)
     if cfg.fixed_h is not None:
         omega = jnp.ones_like(omega)
-    return p.replace(rho=rho, omega=omega)
+    return pr.replace(rho=rho, omega=omega)
 
 
-def sorted_forces(p: Particles, cfg: SimConfig, grid: SortedGrid):
+def sorted_forces(p: Particles, cfg: SimConfig, grid: SortedGrid, rows=None):
     """SPH pressure+viscosity force pass over the sorted windows.
 
-    Returns (acc [N,3], du [N], dalpha [N]) in the sorted order of `p`.
+    Returns (acc [N,3], du [N], dalpha [N]) in the sorted order of `p`
+    (row-sliced like sorted_density when rows=(p_rows, offset) is given).
     """
     cap = p.capacity
-    B = cfg.sorted_block
-    G = cap // B
+    B = cfg.window_group
+    pr, key_r, starts_r, n_rows = _rows_view(p, cfg, grid, rows)
+    G = n_rows // B
     R = cap // LANES
 
     def two_d(a):
@@ -257,16 +287,16 @@ def sorted_forces(p: Particles, cfg: SimConfig, grid: SortedGrid):
     )
     k2 = grid.key.reshape(R, LANES)
 
-    def rows(a):
+    def rshape(a):
         return a.reshape(G, B, 1)
 
-    xi, yi, zi = rows(p.pos[:, 0]), rows(p.pos[:, 1]), rows(p.pos[:, 2])
-    vxi, vyi, vzi = rows(p.vel[:, 0]), rows(p.vel[:, 1]), rows(p.vel[:, 2])
-    hi, Pi, rhoi = rows(p.h), rows(p.pressure), rows(p.rho)
-    omi, csi, ali = rows(p.omega), rows(p.cs), rows(p.alpha)
-    ki = grid.key.reshape(G, B, 1)
+    xi, yi, zi = rshape(pr.pos[:, 0]), rshape(pr.pos[:, 1]), rshape(pr.pos[:, 2])
+    vxi, vyi, vzi = rshape(pr.vel[:, 0]), rshape(pr.vel[:, 1]), rshape(pr.vel[:, 2])
+    hi, Pi, rhoi = rshape(pr.h), rshape(pr.pressure), rshape(pr.rho)
+    omi, csi, ali = rshape(pr.omega), rshape(pr.cs), rshape(pr.alpha)
+    ki = key_r.reshape(G, B, 1)
 
-    sb = grid.starts // LANES
+    sb = starts_r // LANES
     z = jnp.zeros((G, B), p.pos.dtype)
     ax, ay, az, du, araw = z, z, z, z, z
     for o in range(9):
@@ -287,12 +317,12 @@ def sorted_forces(p: Particles, cfg: SimConfig, grid: SortedGrid):
             ax, ay, az = ax + dax, ay + day, az + daz
             du, araw = du + ddu, araw + dar
 
-    acc = jnp.stack([ax.reshape(cap), ay.reshape(cap), az.reshape(cap)],
-                    axis=-1)
-    du = du.reshape(cap)
-    araw = araw.reshape(cap)
-    dalpha = pairs.alpha_rate(araw, p.rho, p.alpha, p.cs, p.h, cfg)
-    alive = p.alive
+    acc = jnp.stack([ax.reshape(n_rows), ay.reshape(n_rows),
+                     az.reshape(n_rows)], axis=-1)
+    du = du.reshape(n_rows)
+    araw = araw.reshape(n_rows)
+    dalpha = pairs.alpha_rate(araw, pr.rho, pr.alpha, pr.cs, pr.h, cfg)
+    alive = pr.alive
     return (
         jnp.where(alive[:, None], acc, 0.0),
         jnp.where(alive, du, 0.0),

@@ -56,10 +56,13 @@ def state_specs(axis: str = "dp") -> SimState:
     )
 
 
-def pad_state_to_devices(state: SimState, n_devices: int) -> SimState:
-    """Pad particle capacity to a multiple of the device count (dead slots)."""
+def pad_state_to_devices(state: SimState, n_devices: int,
+                         granule: int = 128) -> SimState:
+    """Pad particle capacity to a multiple of n_devices * granule (dead
+    slots).  granule=128: each shard stays 128-aligned, which the sharded
+    sorted/Pallas engine requires (integrate._force_eval_sorted_sharded)."""
     cap = state.particles.capacity
-    rem = (-cap) % n_devices
+    rem = (-cap) % (n_devices * max(granule, 1))
     if rem == 0:
         return state
     old = state.particles

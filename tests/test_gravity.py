@@ -82,3 +82,49 @@ def test_pm_dead_particles_ignored():
     acc = np.asarray(gas_gravity_pm(p, cfg)[0])
     assert np.isfinite(acc).all()
     assert np.all(acc[256:] == 0.0)
+
+
+def clustered_cloud(n=768, seed=0, contrast=100.0):
+    """Centrally condensed ball: r ~ power-law giving ~contrast:1 density
+    ratio between core and rim (post-collapse profile class)."""
+    rng = np.random.default_rng(seed)
+    u = rng.random(n)
+    # radius CDF ~ u^1.5: rho ~ r^-1, n(r) spans ~contrast between
+    # r_min and r_max
+    radius = 50.0 * (u + 1.0 / contrast) ** 1.5
+    direction = rng.standard_normal((n, 3))
+    direction /= np.linalg.norm(direction, axis=1, keepdims=True)
+    pos = radius[:, None] * direction
+    return Particles.create(pos=pos, vel=np.zeros((n, 3)),
+                            mass=np.full(n, 1.0 / n), u=np.ones(n), h=0.5)
+
+
+@pytest.mark.slow
+def test_pm_accuracy_under_clustering():
+    """TreePM rms force error on a centrally condensed distribution must
+    stay in the reference BH walk's accuracy class (~1%) — the reference's
+    tree adapts its resolution to arbitrary contrast
+    (SUMMER_SPH.f90:264-290); our equivalent guarantee is windows sized by
+    the overflow counter + this measured bound."""
+    p = clustered_cloud(n=768)
+    cfg = SimConfig(gravity="pm", grav_grid=64, neighbor_mode="sorted",
+                    window_group=32, grav_window_blocks=12)
+    a_direct = np.asarray(gas_gravity_direct(p, cfg))
+    a_pm, n_over = gas_gravity_pm(p, cfg)
+    assert int(n_over) == 0, "gravity windows must cover the clustered core"
+    a_pm = np.asarray(a_pm)
+    mag = np.linalg.norm(a_direct, axis=1)
+    err = np.linalg.norm(a_pm - a_direct, axis=1)
+    rms = np.sqrt(np.mean((err / np.maximum(mag, 1e-12)) ** 2))
+    assert rms < 0.02, rms
+
+
+def test_gravity_window_overflow_trips_on_clustering():
+    """Deliberately undersized gravity windows on a clustered core must
+    report dropped candidates (loud degradation), not silently miss pairs."""
+    from summersph_tpu.ops.pm_gravity import pm_short_range
+    p = clustered_cloud(n=768)
+    cfg = SimConfig(gravity="pm", grav_grid=64, neighbor_mode="sorted",
+                    window_group=32, grav_window_blocks=1)
+    _, n_over = pm_short_range(p, cfg, jnp.asarray(2.0))
+    assert int(n_over) > 0

@@ -35,3 +35,18 @@ def test_sod_l2_density_error():
     # publishes plots, not numbers, README.md:17-19)
     assert err < 0.03, err
     assert int(state.particles.n_alive) == n
+
+
+@pytest.mark.slow
+def test_sod_l2_density_error_sorted_engine():
+    """Same physics bound on the production engine (SFC-sorted windows):
+    the end-to-end integration, not just unit parity, must hold there."""
+    n = 400
+    cfg = sod_config(n=n).with_(end_time=0.1, neighbor_mode="sorted",
+                                sorted_block=128, window_group=32,
+                                window_blocks=4)
+    state, _ = sod_ic(n=n, cfg=cfg)
+    state = run_until(state, 0.1, cfg)
+    err = sod_l2_density_error(state)
+    assert err < 0.03, err
+    assert int(state.particles.n_alive) == n

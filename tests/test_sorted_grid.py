@@ -84,3 +84,24 @@ def test_sorted_step_runs_and_conserves_mass():
     assert np.isfinite(np.asarray(st.particles.vel)).all()
     m1 = float(jnp.sum(jnp.where(st.particles.alive, st.particles.mass, 0.0)))
     np.testing.assert_allclose(m1, m0, rtol=1e-6)
+
+
+def test_window_overflow_trips_midrun_on_clustering():
+    """A clustered distribution with undersized windows must surface
+    dropped candidates through SimState.stats during stepping, and
+    warn_stats must report it (runtime coverage monitoring — the sorted
+    engine's replacement for the reference tree's adaptive guarantee)."""
+    from summersph_tpu.integrate import prime, run_steps, warn_stats
+    from test_gravity import clustered_cloud
+
+    p = clustered_cloud(n=768)
+    s = Sinks.create(pos=np.zeros((1, 3)), vel=np.zeros((1, 3)),
+                     mass=[0.0], radius=[0.0])
+    cfg = SimConfig(fixed_h=2.0, neighbor_mode="sorted", sorted_block=128,
+                    window_group=32, window_blocks=1, gravity="none",
+                    dt_init=1e-6, dt_max=1e-5, bounding_size=1.0e5)
+    state = SimState.create(p, s, dt=1e-6)
+    state = prime(state, cfg)
+    state = run_steps(state, cfg, 2)
+    assert int(state.stats_dict()["sph_window_overflow"]) > 0
+    assert warn_stats(state) is True
