@@ -275,7 +275,7 @@ def _coverage_stats(cfg: SimConfig, grid, grav_over, n_unconverged):
         sph_over, clamped = zero, zero
     elif cfg.use_pallas:
         from .ops.pallas_pairs import window_overflow
-        sph_over = window_overflow(grid, cfg.pallas_window).astype(jnp.int32)
+        sph_over = window_overflow(grid, cfg).astype(jnp.int32)
         clamped = grid.n_clamped
     else:
         sph_over = grid.n_window_overflow
@@ -398,8 +398,8 @@ def check_coverage(state: SimState, cfg: SimConfig, warn: bool = True) -> int:
     h_pad = 1.0 if cfg.fixed_h is not None else cfg.sort_h_pad
     _, grid = sort_particles(state.particles, cfg, h_pad=h_pad)
     if cfg.use_pallas:
-        dropped = int(window_overflow(grid, cfg.pallas_window))
-        knob = "cfg.pallas_window"
+        dropped = int(window_overflow(grid, cfg))
+        knob = "cfg.pallas_window / cfg.pallas_fetch_window"
     else:
         reach = (grid.starts // LANES) * LANES + cfg.window_blocks * LANES
         dropped = int(jnp.sum(jnp.maximum(grid.ends - reach, 0)))

@@ -9,26 +9,31 @@ DMAs [fields, W] windows at arbitrary starts, so W only has to cover
 
 Data layout: pair fields are packed [F, N] (field-major, particle minor) in
 sorted order, so each stencil window is one 2-D strided DMA.  The int32 cell
-key rides in an f32 lane via bitcast.  Per grid program (B = sorted_block
-rows = S = B/window_group window groups):
+key rides in an f32 lane via bitcast.
 
-  * scalar-prefetched window starts [G, 9] (G = N/window_group, from the
-    same searchsorted machinery as the XLA path),
-  * S x 9 async copies HBM -> VMEM scratch [S, 9, F, W] (issued together,
-    waited per program),
-  * the program's own B rows as one [F, B] copy,
+Two-level windows (B = sorted_block rows per program, S = B/window_group
+window groups per program):
+
+  * DMA granularity is the *program*: 9 fetch windows of WB =
+    cfg.pallas_fetch_window lanes each, sized to cover the whole program's
+    key span, land in VMEM scratch [9, F, WB] — 10 DMA descriptors per
+    program (descriptor issue cost is a first-order term at ~100 B/descr).
+  * compute granularity is the *window group*: each group's exact window is
+    a 128-aligned W = cfg.pallas_window sub-slice of the program fetch,
+    found by a 3-bit packed per-group sub-offset ((WB - W) <= 7 * 128).
+    Small groups keep W down (~2x fewer wasted VPU lanes at 32 vs 128 rows,
+    measured — see SimConfig.window_group) without paying per-group DMAs.
   * per window group and offset: [window_group, W] pair math with the exact
     per-row key-range mask (ops.sorted_grid disjointness argument),
     accumulated into [B] outputs.
 
-Windows per *window group* rather than per program block: each window must
-cover its group's own key span + 2 column occupancies + 128-lane alignment
-slop, so 32-row groups halve the wasted candidate lanes vs 128-row groups
-at equal coverage (measured; see SimConfig.window_group).
+Scalar prefetch carries the per-program starts [G_p * 9] plus one packed
+int32 of sub-offsets per group [G] — 426 KB of SMEM at N = 1e6 (the
+per-group starts layout overflowed the 1 MB SMEM there).
 
-Correctness contract: candidates beyond W are *dropped*; the caller checks
-`window_overflow(grid, W)` == 0 (tests assert it) and can raise W via
-`cfg.pallas_window`.
+Correctness contract: candidates beyond a group's effective [start, start+W)
+window are *dropped*; the caller checks `window_overflow(grid, cfg)` == 0
+(tests assert it) and can raise cfg.pallas_window / cfg.pallas_fetch_window.
 """
 
 from __future__ import annotations
@@ -67,28 +72,58 @@ def _pack(p: Particles, key: jax.Array, n_fields: int) -> jax.Array:
     return jnp.stack(cols, axis=0)
 
 
-def window_starts(grid: SortedGrid, window: int):
-    """[G, 9] DMA-aligned, clamped window starts (G = N / window_group).
+def _effective_windows(cfg: SimConfig, n_cols: int):
+    """(W, WB): compute window / fetch window clamped to the array size."""
+    WB = min(cfg.pallas_fetch_window, n_cols)
+    W = min(cfg.pallas_window, WB)
+    if (WB - W) // LANES > 7:
+        raise ValueError(
+            f"pallas_fetch_window - pallas_window ({WB - W}) must be "
+            f"<= {7 * LANES}: group sub-offsets are packed 3 bits per "
+            f"stencil offset")
+    return W, WB
 
-    Mosaic requires dynamic slice offsets on the minor (lane) dimension to
-    be 128-divisible, so starts are rounded down to LANES; `window` must
-    absorb the alignment slop (<= 127) on top of group span + 2 x occupancy.
+
+def window_plan(grid: SortedGrid, cfg: SimConfig, n_rows_groups: int = 0):
+    """Two-level window plan for the kernels.
+
+    Returns (prog_starts [G_p, 9] int32, suboff_packed [G] int32,
+    eff_starts [G, 9] int32):
+      * prog_starts — 128-aligned per-program fetch starts (DMA bounds
+        clamped to n - WB); Mosaic requires lane-dim DMA slice starts to be
+        128-divisible, so all starts round down to LANES and the windows
+        absorb the <= 127-lane slop,
+      * suboff_packed — per group, 9 x 3-bit sub-offsets (in 128-lane
+        units) of the group's compute window inside its program's fetch,
+      * eff_starts — the resulting effective compute-window starts, for
+        overflow accounting: group g / offset o covers exactly
+        [eff, eff + W).
     """
     n = grid.key.shape[0]
-    starts = (grid.starts // LANES) * LANES
-    return jnp.minimum(starts, jnp.maximum(n - window, 0))
+    S = cfg.sorted_block // cfg.window_group
+    W, WB = _effective_windows(cfg, n)
+    aligned = (grid.starts // LANES) * LANES                 # [G, 9]
+    G = aligned.shape[0]
+    G_p = G // S
+    a3 = aligned.reshape(G_p, S, 9)
+    prog = jnp.minimum(a3.min(axis=1), max(n - WB, 0))       # [G_p, 9]
+    sub = jnp.clip((a3 - prog[:, None, :]) // LANES, 0, (WB - W) // LANES)
+    eff = (prog[:, None, :] + sub * LANES).reshape(G, 9)
+    packed = jnp.sum(sub << (3 * jnp.arange(9, dtype=jnp.int32)),
+                     axis=-1, dtype=jnp.int32).reshape(G)
+    return prog, packed, eff
 
 
-def window_overflow(grid: SortedGrid, window: int) -> jax.Array:
-    """Candidates beyond the static window size (must be 0 for exactness)."""
-    aligned = (grid.starts // LANES) * LANES
-    return jnp.sum(jnp.maximum(grid.ends - aligned - window, 0))
+def window_overflow(grid: SortedGrid, cfg: SimConfig) -> jax.Array:
+    """Candidates beyond the static window sizes (must be 0 for exactness)."""
+    _, _, eff = window_plan(grid, cfg)
+    W, _ = _effective_windows(cfg, grid.key.shape[0])
+    return jnp.sum(jnp.maximum(grid.ends - eff - W, 0))
 
 
 def _issue_window_dmas(starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr,
-                       rsems, wsems, prog, slot, window: int, b: int,
-                       s_sub: int):
-    """Start the rows + S x 9 stencil-window copies for `prog` into `slot`.
+                       rsems, wsems, prog, slot, window_big: int, b: int):
+    """Start the rows + 9 program-fetch-window copies for `prog` into `slot`.
 
     Rows come from `rows_hbm` (this device's row pack — a slice of the
     global sorted order under sharding, the whole pack single-chip);
@@ -97,33 +132,30 @@ def _issue_window_dmas(starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr,
     pltpu.make_async_copy(
         rows_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
         rows_scr.at[slot], rsems.at[slot]).start()
-    for s in range(s_sub):
-        for o in range(9):
-            st = pl.multiple_of(starts_ref[(prog * s_sub + s) * 9 + o], 128)
-            pltpu.make_async_copy(
-                cols_hbm.at[:, pl.ds(st, window)], win_scr.at[slot, s, o],
-                wsems.at[slot, s, o]).start()
+    for o in range(9):
+        st = pl.multiple_of(starts_ref[prog * 9 + o], 128)
+        pltpu.make_async_copy(
+            cols_hbm.at[:, pl.ds(st, window_big)], win_scr.at[slot, o],
+            wsems.at[slot, o]).start()
 
 
 def _wait_window_dmas(starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr,
-                      rsems, wsems, prog, slot, window: int, b: int,
-                      s_sub: int):
+                      rsems, wsems, prog, slot, window_big: int, b: int):
     pltpu.make_async_copy(
         rows_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
         rows_scr.at[slot], rsems.at[slot]).wait()
-    for s in range(s_sub):
-        for o in range(9):
-            st = pl.multiple_of(starts_ref[(prog * s_sub + s) * 9 + o], 128)
-            pltpu.make_async_copy(
-                cols_hbm.at[:, pl.ds(st, window)], win_scr.at[slot, s, o],
-                wsems.at[slot, s, o]).wait()
+    for o in range(9):
+        st = pl.multiple_of(starts_ref[prog * 9 + o], 128)
+        pltpu.make_async_copy(
+            cols_hbm.at[:, pl.ds(st, window_big)], win_scr.at[slot, o],
+            wsems.at[slot, o]).wait()
 
 
-def _density_kernel(starts_ref, rows_hbm, cols_hbm, out_hbm,
+def _density_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
                     rows_scr, win_scr, out_vmem, rsems, wsems, osem,
-                    *, window: int, b: int, s_sub: int):
+                    *, window: int, window_big: int, b: int, s_sub: int):
     # Double-buffered across grid programs: program i issues i+1's DMAs
-    # before computing on i's slot, hiding the (S*9 copies) DMA latency.
+    # before computing on i's slot, hiding the (10 copies) DMA latency.
     i = pl.program_id(0)
     ng = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
@@ -132,14 +164,13 @@ def _density_kernel(starts_ref, rows_hbm, cols_hbm, out_hbm,
 
     @pl.when(i == 0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window=window, b=b, s_sub=s_sub)
+        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b)
 
     @pl.when(i + 1 < ng)
     def _():
-        _issue_window_dmas(*args, i + 1, nslot, window=window, b=b,
-                           s_sub=s_sub)
+        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b)
 
-    _wait_window_dmas(*args, i, slot, window=window, b=b, s_sub=s_sub)
+    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
 
@@ -157,13 +188,17 @@ def _density_kernel(starts_ref, rows_hbm, cols_hbm, out_hbm,
         om = jnp.zeros((wg,), jnp.float32)
         inv_pi_h3 = 1.0 / (PI * hi * hi * hi)
 
+        pk = suboff_ref[i * s_sub + s]
         for o in range(9):
-            scratch = win_scr.at[slot, s]
-            xw = scratch[o, _IX, :]
-            yw = scratch[o, _IY, :]
-            zw = scratch[o, _IZ, :]
-            mw = scratch[o, _IM, :]
-            kw = jax.lax.bitcast_convert_type(scratch[o, _IKEY, :], jnp.int32)
+            base = pl.multiple_of(
+                ((pk >> (3 * o)) & 7) * LANES, 128)
+            scratch = win_scr.at[slot, o]
+            xw = scratch[_IX, pl.ds(base, window)]
+            yw = scratch[_IY, pl.ds(base, window)]
+            zw = scratch[_IZ, pl.ds(base, window)]
+            mw = scratch[_IM, pl.ds(base, window)]
+            kw = jax.lax.bitcast_convert_type(
+                scratch[_IKEY, pl.ds(base, window)], jnp.int32)
 
             mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
                     & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
@@ -192,8 +227,8 @@ def _density_kernel(starts_ref, rows_hbm, cols_hbm, out_hbm,
 
 
 def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
-                n_fields: int, W: int):
-    """(packed_rows, packed_cols, starts_local, n_rows) for a kernel launch.
+                n_fields: int):
+    """(packed_rows, packed_cols, prog_starts, suboff, n_rows) for a launch.
 
     rows=None: rows are the whole sorted set.  rows=(p_rows, offset):
     compute sums only for the `p_rows.capacity` sorted rows starting at
@@ -201,17 +236,20 @@ def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
     sorted order under sharding (parallel.sharded).
     """
     packed_cols = _pack(p, grid.key, n_fields)
-    starts = window_starts(grid, W).reshape(-1)
+    prog, suboff, _ = window_plan(grid, cfg)
+    prog = prog.reshape(-1)
     if rows is None:
-        return packed_cols, packed_cols, starts, p.capacity
+        return packed_cols, packed_cols, prog, suboff, p.capacity
     p_rows, offset = rows
     n_rows = p_rows.capacity
-    wg = cfg.window_group
+    B, wg = cfg.sorted_block, cfg.window_group
     key_rows = jax.lax.dynamic_slice(grid.key, (offset,), (n_rows,))
     packed_rows = _pack(p_rows, key_rows, n_fields)
-    starts_local = jax.lax.dynamic_slice(
-        starts, (offset // wg * 9,), (n_rows // wg * 9,))
-    return packed_rows, packed_cols, starts_local, n_rows
+    prog_local = jax.lax.dynamic_slice(
+        prog, (offset // B * 9,), (n_rows // B * 9,))
+    suboff_local = jax.lax.dynamic_slice(
+        suboff, (offset // wg,), (n_rows // wg,))
+    return packed_rows, packed_cols, prog_local, suboff_local, n_rows
 
 
 def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
@@ -223,15 +261,15 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     n = p.capacity
     B = cfg.sorted_block
     S = B // cfg.window_group
-    W = min(cfg.pallas_window, n)  # window cannot exceed the array
-    packed_rows, packed_cols, starts, n_rows = _row_slices(
-        p, cfg, grid, rows, DF, W)
+    W, WB = _effective_windows(cfg, n)
+    packed_rows, packed_cols, prog, suboff, n_rows = _row_slices(
+        p, cfg, grid, rows, DF)
     G = n_rows // B
-    # starts is 1-D: SMEM pads the minor dim of 2-D scalar operands to 128
-    # lanes (4 MB at 1e6 particles)
+    # scalar operands are 1-D: SMEM pads the minor dim of 2-D scalar
+    # operands to 128 lanes
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -240,27 +278,28 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, DF, B), jnp.float32),
-            pltpu.VMEM((2, S, 9, DF, W), jnp.float32),
+            pltpu.VMEM((2, 9, DF, WB), jnp.float32),
             pltpu.VMEM((8, B), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, S, 9)),
+            pltpu.SemaphoreType.DMA((2, 9)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_density_kernel, window=W, b=B, s_sub=S),
+        functools.partial(_density_kernel, window=W, window_big=WB, b=B,
+                          s_sub=S),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, packed_rows, packed_cols)
+    )(prog, suboff, packed_rows, packed_cols)
     return out[0], out[1]
 
 
-def _force_kernel(starts_ref, rows_hbm, cols_hbm, out_hbm,
+def _force_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
                   rows_scr, win_scr, out_vmem, rsems, wsems, osem, *,
-                  window: int, b: int, s_sub: int, av_eps: float,
-                  beta_factor: float):
+                  window: int, window_big: int, b: int, s_sub: int,
+                  av_eps: float, beta_factor: float):
     i = pl.program_id(0)
     ng = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
@@ -269,14 +308,13 @@ def _force_kernel(starts_ref, rows_hbm, cols_hbm, out_hbm,
 
     @pl.when(i == 0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window=window, b=b, s_sub=s_sub)
+        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b)
 
     @pl.when(i + 1 < ng)
     def _():
-        _issue_window_dmas(*args, i + 1, nslot, window=window, b=b,
-                           s_sub=s_sub)
+        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b)
 
-    _wait_window_dmas(*args, i, slot, window=window, b=b, s_sub=s_sub)
+    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
 
@@ -302,9 +340,12 @@ def _force_kernel(starts_ref, rows_hbm, cols_hbm, out_hbm,
         pterm_i = pi_ / (omi * rhoi * rhoi)
         inv_pi_hi4 = 1.0 / (PI * hi * hi * hi * hi)
 
+        pk = suboff_ref[i * s_sub + s]
         for o in range(9):
-            def col(idx, _o=o, _s=s):
-                return win_scr[slot, _s, _o, idx, :]
+            base = pl.multiple_of(((pk >> (3 * o)) & 7) * LANES, 128)
+
+            def col(idx, _o=o, _base=base):
+                return win_scr[slot, _o, idx, pl.ds(_base, window)]
 
             xw, yw, zw = col(_IX), col(_IY), col(_IZ)
             mw, hw = col(_IM), col(_IH)
@@ -383,13 +424,13 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     n = p.capacity
     B = cfg.sorted_block
     S = B // cfg.window_group
-    W = min(cfg.pallas_window, n)  # window cannot exceed the array
-    packed_rows, packed_cols, starts, n_rows = _row_slices(
-        p, cfg, grid, rows, FF, W)
+    W, WB = _effective_windows(cfg, n)
+    packed_rows, packed_cols, prog, suboff, n_rows = _row_slices(
+        p, cfg, grid, rows, FF)
     G = n_rows // B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -398,22 +439,22 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, FF, B), jnp.float32),
-            pltpu.VMEM((2, S, 9, FF, W), jnp.float32),
+            pltpu.VMEM((2, 9, FF, WB), jnp.float32),
             pltpu.VMEM((8, B), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, S, 9)),
+            pltpu.SemaphoreType.DMA((2, 9)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_force_kernel, window=W, b=B, s_sub=S,
-                          av_eps=cfg.av_eps,
+        functools.partial(_force_kernel, window=W, window_big=WB, b=B,
+                          s_sub=S, av_eps=cfg.av_eps,
                           beta_factor=cfg.beta_factor),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, packed_rows, packed_cols)
+    )(prog, suboff, packed_rows, packed_cols)
     return out[0], out[1], out[2], out[3], out[4]
 
 

@@ -22,7 +22,7 @@ def test_pallas_density_and_forces_match_xla():
     p = lattice_particles(nside=8, spacing=1.0, h=1.3, jitter=0.25)
     cfg = _cfg()
     p2, grid = sort_particles(p, cfg)
-    assert int(window_overflow(grid, cfg.pallas_window)) == 0
+    assert int(window_overflow(grid, cfg)) == 0
 
     pd = sorted_density(p2, cfg, grid)
     pp = pallas_density(p2, cfg, grid, interpret=True)
