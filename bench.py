@@ -32,10 +32,16 @@ def run_config(n, steps, gravity, use_pallas=True):
     # Keplerian disc around a central sink (graded config 3/5 geometry).
     # h chosen so the kernel support holds ~60 neighbours at this N.
     h0 = 100.0 * (60.0 / n) ** (1.0 / 3.0) / 2.0
+    # Short-range gravity window: r_cut-cell occupancy scales ~linearly
+    # with N at fixed mesh/box (rho * r_cut^3), so size the Pallas gravity
+    # windows by N (the in-step grav_window_overflow counter guards drops).
+    gw = 512 if n <= 262144 else (1024 if n <= 524288 else 1920)
     cfg = SimConfig(
         fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
         use_pallas=use_pallas, sorted_block=128, window_group=32,
-        pallas_window=384, window_blocks=3, grav_window_blocks=8,
+        pallas_window=384, pallas_fetch_window=768,
+        grav_pallas_window=gw, grav_pallas_fetch=gw + 384,
+        window_blocks=3, grav_window_blocks=8,
         gamma=1.4, bounding_size=1500.0,
         dt_init=1e-4, dt_min=1e-5, dt_max=1e-3,
     )

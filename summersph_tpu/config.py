@@ -119,6 +119,12 @@ class SimConfig:
     # Run the Pallas kernels in interpret mode (CPU-executable): tests
     # exercise the exact production code path on the virtual device mesh.
     pallas_interpret: bool = False
+    # Pallas short-range gravity (use_pallas): compute / fetch window pair
+    # for the r_cut-sized gravity cells.  Occupancy scales with
+    # rho * r_cut^3 (~280 particles/cell for a uniform 1e6 ball at the
+    # default mesh) — grav_window_overflow in SimState.stats reports drops.
+    grav_pallas_window: int = 1024
+    grav_pallas_fetch: int = 1408
 
     # --- h-iteration (variable-h mode)
     h_iter_max: int = 3                 # fixed Newton iteration count (masked convergence)

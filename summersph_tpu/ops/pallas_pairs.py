@@ -55,6 +55,7 @@ from ..utils.units import PI
 # Packed field indices (density uses the first DF, forces all FF).
 _IX, _IY, _IZ, _IM, _IH, _IKEY = 0, 1, 2, 3, 4, 5
 DF = 8  # density pack: x y z m h key pad pad
+_IRS, _IRCUT = 6, 7  # gravity pack reuses the pads for (r_s, r_cut)
 _IVX, _IVY, _IVZ, _IP, _IRHO, _IOM, _ICS, _IAL = 6, 7, 8, 9, 10, 11, 12, 13
 FF = 16  # force pack: x y z m h key vx vy vz P rho om cs al pad pad
 
@@ -186,7 +187,8 @@ def _density_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
 
         rho = jnp.zeros((wg,), jnp.float32)
         om = jnp.zeros((wg,), jnp.float32)
-        inv_pi_h3 = 1.0 / (PI * hi * hi * hi)
+        inv_hi = 1.0 / hi
+        inv_pi_h3 = (1.0 / PI) * inv_hi * inv_hi * inv_hi
 
         pk = suboff_ref[i * s_sub + s]
         for o in range(9):
@@ -205,14 +207,17 @@ def _density_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
             dxx = xi[:, None] - xw[None, :]
             dxy = yi[:, None] - yw[None, :]
             dxz = zi[:, None] - zw[None, :]
-            r = jnp.sqrt(dxx * dxx + dxy * dxy + dxz * dxz)
-            q = r / hi[:, None]
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            # rsqrt + mul instead of sqrt (and q via per-row 1/h): the VPU
+            # pair loop is compute-bound, transcendental slots count
+            r = r2 * jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
+            q = r * inv_hi[:, None]
             w = w_shape(q)
             # dW/dh = -(3 W + r dW/dr)/h; dW/dr = dw_shape/(pi h^4)
             dwdh_shape = -(3.0 * w + q * dw_shape(q))
             m = jnp.where(mask, mw[None, :], 0.0)
             rho = rho + jnp.sum(m * w, axis=1) * inv_pi_h3
-            om = om + jnp.sum(m * dwdh_shape, axis=1) * inv_pi_h3 / hi
+            om = om + jnp.sum(m * dwdh_shape, axis=1) * inv_pi_h3 * inv_hi
         rho_subs.append(rho)
         om_subs.append(om)
 
@@ -338,7 +343,8 @@ def _force_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
         ar = jnp.zeros((wg,), jnp.float32)
 
         pterm_i = pi_ / (omi * rhoi * rhoi)
-        inv_pi_hi4 = 1.0 / (PI * hi * hi * hi * hi)
+        inv_hi = 1.0 / hi
+        inv_pi_hi4 = (1.0 / PI) * inv_hi * inv_hi * inv_hi * inv_hi
 
         pk = suboff_ref[i * s_sub + s]
         for o in range(9):
@@ -354,6 +360,14 @@ def _force_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
             csw, alw = col(_ICS), col(_IAL)
             kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
 
+            # per-column ([W]-shaped, cheap) reciprocals replace per-pair
+            # ([wg, W]) divisions; maximum-guards replace select chains —
+            # masked pairs carry m = 0, and every guarded quantity stays
+            # finite, so 0 * huge = 0 (never 0 * inf = NaN)
+            inv_hw = 1.0 / hw
+            inv_pi_hw4 = ((1.0 / PI) * inv_hw * inv_hw) * (inv_hw * inv_hw)
+            pterm_j = (pw / jnp.maximum(omw * rhow * rhow, 1.0e-30))[None, :]
+
             mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
                     & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
 
@@ -361,13 +375,11 @@ def _force_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
             dxy = yi[:, None] - yw[None, :]
             dxz = zi[:, None] - zw[None, :]
             r2 = dxx * dxx + dxy * dxy + dxz * dxz
-            r = jnp.sqrt(r2)
-            valid = mask & (r > 0.0)
-            inv_r = jnp.where(valid, 1.0 / jnp.where(valid, r, 1.0), 0.0)
+            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
+            r = r2 * inv_r
 
-            dw_i = dw_shape(r * (1.0 / hi)[:, None]) * inv_pi_hi4[:, None]
-            hw4 = hw * hw * hw * hw
-            dw_j = dw_shape(r / hw[None, :]) / (PI * hw4)[None, :]
+            dw_i = dw_shape(r * inv_hi[:, None]) * inv_pi_hi4[:, None]
+            dw_j = dw_shape(r * inv_hw[None, :]) * inv_pi_hw4[None, :]
             dwbar = 0.5 * (dw_i + dw_j)
 
             vx = vxi[:, None] - vxw[None, :]
@@ -381,20 +393,13 @@ def _force_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
             cbar = 0.5 * (csi[:, None] + csw[None, :])
             abar = 0.5 * (ali[:, None] + alw[None, :])
             rhobar = 0.5 * (rhoi[:, None] + rhow[None, :])
-            visc = jnp.where(
-                valid & (rhobar > 0.0),
-                (-abar * cbar * mu + beta_factor * abar * mu * mu)
-                / jnp.where(rhobar > 0.0, rhobar, 1.0),
-                0.0)
+            visc = ((-abar * cbar * mu + beta_factor * abar * mu * mu)
+                    / jnp.maximum(rhobar, 1.0e-30))
 
-            denom_j = omw * rhow * rhow
-            pterm_j = jnp.where(denom_j[None, :] != 0.0,
-                                pw[None, :] / jnp.where(denom_j != 0.0,
-                                                        denom_j,
-                                                        1.0)[None, :],
-                                0.0)
-
-            m = jnp.where(valid, mw[None, :], 0.0)
+            # self-pairs (r == 0) vanish without an explicit r > 0 guard:
+            # dw_shape(0) == 0 kills the pressure terms and vdotr == 0
+            # kills the viscous/heating terms
+            m = jnp.where(mask, mw[None, :], 0.0)
             scal = pterm_i[:, None] * dw_i + pterm_j * dw_j + visc * dwbar
             coef = -m * scal * inv_r
             ax = ax + jnp.sum(coef * dxx, axis=1)
@@ -456,6 +461,151 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(prog, suboff, packed_rows, packed_cols)
     return out[0], out[1], out[2], out[3], out[4]
+
+
+def _grav_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm,
+                 out_hbm, rows_scr, win_scr, out_vmem, rsems, wsems, osem,
+                 *, window: int, window_big: int, b: int, s_sub: int):
+    """Short-range (TreePM complement) gravity pair sums.
+
+    Same two-level window structure as the SPH kernels; pair math is the
+    softened spline gravity minus the mesh's Gaussian-filtered share
+    (ops.pm_gravity._short_factor, the kernel-side twin).  The traced
+    scalars r_s / r_cut (the mesh rescales with the particle extent every
+    step) ride the two pad fields of the rows pack — Mosaic cannot bitcast
+    SMEM scalars.
+    """
+    from .kernels import grav_shape
+    from .pm_gravity import erf_approx
+    from ..utils.units import G
+
+    i = pl.program_id(0)
+    ng = pl.num_programs(0)
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nslot = jax.lax.rem(i + 1, jnp.int32(2))
+    args = (starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr, rsems, wsems)
+
+    @pl.when(i == 0)
+    def _():
+        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b)
+
+    @pl.when(i + 1 < ng)
+    def _():
+        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b)
+
+    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b)
+    rows_ref = rows_scr.at[slot]
+    wg = b // s_sub
+
+    r_s = rows_scr[slot, _IRS, 0]
+    r_cut2 = rows_scr[slot, _IRCUT, 0]
+    r_cut2 = r_cut2 * r_cut2
+    inv_2rs = 0.5 / r_s
+    inv_rs_sqrtpi = 1.0 / (r_s * jnp.sqrt(jnp.float32(PI)))
+
+    acc_subs = []
+    for s in range(s_sub):
+        sub = slice(s * wg, (s + 1) * wg)
+        xi = rows_ref[_IX, sub]
+        yi = rows_ref[_IY, sub]
+        zi = rows_ref[_IZ, sub]
+        inv_hi = 1.0 / rows_ref[_IH, sub]
+        ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
+
+        ax = jnp.zeros((wg,), jnp.float32)
+        ay = jnp.zeros((wg,), jnp.float32)
+        az = jnp.zeros((wg,), jnp.float32)
+
+        pk = suboff_ref[i * s_sub + s]
+        for o in range(9):
+            base = pl.multiple_of(((pk >> (3 * o)) & 7) * LANES, 128)
+            scratch = win_scr.at[slot, o]
+            xw = scratch[_IX, pl.ds(base, window)]
+            yw = scratch[_IY, pl.ds(base, window)]
+            zw = scratch[_IZ, pl.ds(base, window)]
+            mw = scratch[_IM, pl.ds(base, window)]
+            kw = jax.lax.bitcast_convert_type(
+                scratch[_IKEY, pl.ds(base, window)], jnp.int32)
+
+            mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
+                    & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+            dxx = xi[:, None] - xw[None, :]
+            dxy = yi[:, None] - yw[None, :]
+            dxz = zi[:, None] - zw[None, :]
+            r2 = dxx * dxx + dxy * dxy + dxz * dxz
+            valid = mask & (r2 > 0.0) & (r2 < r_cut2)
+            # clamp keeps inv_r^3 finite in f32 (masked pairs would
+            # otherwise produce 0 * inf = NaN); 1e-6 AU is far below any
+            # physical pair separation
+            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
+            r = r2 * inv_r
+            x = r * inv_2rs
+            expmx2 = jnp.exp(-x * x)
+            s_mesh = (erf_approx(x, expmx2)
+                      - r * inv_rs_sqrtpi * expmx2)
+            gshort = grav_shape(r * inv_hi[:, None]) - s_mesh
+            m = jnp.where(valid, mw[None, :], 0.0)
+            coef = (-G) * m * gshort * (inv_r * inv_r * inv_r)
+            ax = ax + jnp.sum(coef * dxx, axis=1)
+            ay = ay + jnp.sum(coef * dxy, axis=1)
+            az = az + jnp.sum(coef * dxz, axis=1)
+        acc_subs.append((ax, ay, az))
+
+    for c in range(3):
+        out_vmem[c, :] = jnp.concatenate([t[c] for t in acc_subs])
+    for _pad_row in range(3, 8):
+        out_vmem[_pad_row, :] = jnp.zeros((b,), jnp.float32)
+    ocopy = pltpu.make_async_copy(
+        out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
+    ocopy.start()
+    ocopy.wait()
+
+
+def pallas_grav_short_sums(packed_rows, packed_cols, prog, suboff,
+                           cfg: SimConfig, interpret: bool = False):
+    """(ax, ay, az) short-range gravity sums over pre-packed [8, N] arrays.
+
+    `packed_rows`/`packed_cols` use the gravity pack layout
+    (x y z m h key r_s r_cut) in *gravity-sorted* order — the two traced
+    split scalars broadcast into the pad fields; `prog`/`suboff` are the
+    window plan for the gravity grid with cfg.grav_pallas_window /
+    cfg.grav_pallas_fetch as the window pair (ops.pm_gravity builds both).
+    """
+    B = cfg.sorted_block
+    S = B // cfg.window_group
+    n_cols = packed_cols.shape[1]
+    n_rows = packed_rows.shape[1]
+    gcfg = cfg.with_(pallas_window=cfg.grav_pallas_window,
+                     pallas_fetch_window=cfg.grav_pallas_fetch)
+    W, WB = _effective_windows(gcfg, n_cols)
+    G = n_rows // B
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, DF, B), jnp.float32),
+            pltpu.VMEM((2, 9, DF, WB), jnp.float32),
+            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_grav_kernel, window=W, window_big=WB, b=B,
+                          s_sub=S),
+        out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(prog, suboff, packed_rows, packed_cols)
+    return out[0], out[1], out[2]
 
 
 def pallas_density(p: Particles, cfg: SimConfig, grid: SortedGrid,

@@ -218,10 +218,24 @@ def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
     return acc, origin, cell, r_s
 
 
+def erf_approx(x, expmx2):
+    """erf(x) for x >= 0 given e^(-x^2): Abramowitz-Stegun 7.1.26.
+
+    Max abs error 1.5e-7 — far below the PM force-split's 0.1% class.
+    Used by both the XLA and Pallas short-range paths (Mosaic has no erf
+    primitive), keeping them pairwise identical.
+    """
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))
+    return 1.0 - poly * expmx2
+
+
 def _short_factor(r, h_i, r_s):
     """g_short(r) = f_spline(r/h) - S(r): what the mesh didn't deliver."""
-    s = (jax.scipy.special.erf(r / (2.0 * r_s))
-         - r / (r_s * jnp.sqrt(PI)) * jnp.exp(-r * r / (4.0 * r_s * r_s)))
+    x = r / (2.0 * r_s)
+    expmx2 = jnp.exp(-x * x)
+    s = erf_approx(x, expmx2) - r / (r_s * jnp.sqrt(PI)) * expmx2
     return grav_softening(r, h_i) - s
 
 
@@ -313,50 +327,91 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
         def loc(a):
             return jax.lax.dynamic_slice_in_dim(a, off_g, nloc)
 
-    Gl = nloc // B
-    xi = loc(xs).reshape(Gl, B, 1)
-    yi = loc(ys).reshape(Gl, B, 1)
-    zi = loc(zs).reshape(Gl, B, 1)
-    hi = loc(hs).reshape(Gl, B, 1)
-    ki = loc(key_s).reshape(Gl, B, 1)
+    if cfg.use_pallas:
+        # Pallas two-level-window kernel (ops.pallas_pairs._grav_kernel):
+        # exact extents instead of slab block rows — the XLA slab path
+        # below burns 9 * grav_window_blocks * 128 lanes per row.
+        from .pallas_pairs import (_effective_windows, pallas_grav_short_sums,
+                                   window_plan)
+        from .sorted_grid import SortedGrid
 
-    sb = (jax.lax.dynamic_slice_in_dim(starts, off_g // B, Gl)
-          if rows is not None else starts) // LANES
-    z = jnp.zeros((Gl, B), dtype)
-    ax, ay, az = z, z, z
-    lane = jnp.arange(LANES, dtype=jnp.int32)[None, :]
-    for o in range(9):
-        lo = ki + (PLANE_OFFSETS[o] - 1)
-        hi_k = ki + (PLANE_OFFSETS[o] + 1)
-        for blk in range(cfg.grav_window_blocks):
-            brows = jnp.clip(sb[:, o] + blk, 0, R - 1)
-            cx = x2[brows][:, None, :]
-            cy = y2[brows][:, None, :]
-            cz = z2[brows][:, None, :]
-            cm = m2[brows][:, None, :]
-            kj = k2[brows][:, None, :]
-            gi = ((sb[:, o, None] + blk) * LANES + lane)[:, None, :]
-            mask = (kj >= lo) & (kj <= hi_k) & (gi >= 0) & (gi < cap)
+        gcfg = cfg.with_(pallas_window=cfg.grav_pallas_window,
+                         pallas_fetch_window=cfg.grav_pallas_fetch)
+        gridlike = SortedGrid(
+            key=key_s, starts=starts, ends=ends, origin=origin,
+            cell_size=cell, n_window_overflow=jnp.zeros((), jnp.int32),
+            n_clamped=jnp.zeros((), jnp.int32))
+        prog, suboff, eff = window_plan(gridlike, gcfg)
+        Wg, _ = _effective_windows(gcfg, cap)
+        n_over = jnp.sum(jnp.maximum(ends - eff - Wg, 0)).astype(jnp.int32)
+        key_f = jax.lax.bitcast_convert_type(key_s, jnp.float32)
+        rs_col = jnp.full_like(xs, jnp.asarray(r_s, xs.dtype))
+        rcut_col = jnp.full_like(xs, jnp.asarray(r_cut, xs.dtype))
+        packed = jnp.stack([xs, ys, zs, ms, hs, key_f, rs_col, rcut_col])
+        prog_f = prog.reshape(-1)
+        if rows is None:
+            packed_rows, prog_l, sub_l = packed, prog_f, suboff
+        else:
+            if nloc % cfg.sorted_block:
+                raise ValueError(
+                    f"sharded Pallas PM gravity needs the per-device row "
+                    f"count ({nloc}) to be a multiple of sorted_block "
+                    f"({cfg.sorted_block})")
+            packed_rows = jax.lax.dynamic_slice_in_dim(packed, off_g, nloc,
+                                                       axis=1)
+            prog_l = jax.lax.dynamic_slice_in_dim(
+                prog_f, off_g // cfg.sorted_block * 9, nloc // cfg.sorted_block * 9)
+            sub_l = jax.lax.dynamic_slice_in_dim(
+                suboff, off_g // B, nloc // B)
+        axf, ayf, azf = pallas_grav_short_sums(
+            packed_rows, packed, prog_l, sub_l, cfg,
+            interpret=cfg.pallas_interpret)
+    else:
+        Gl = nloc // B
+        xi = loc(xs).reshape(Gl, B, 1)
+        yi = loc(ys).reshape(Gl, B, 1)
+        zi = loc(zs).reshape(Gl, B, 1)
+        hi = loc(hs).reshape(Gl, B, 1)
+        ki = loc(key_s).reshape(Gl, B, 1)
 
-            dxx = xi - cx
-            dxy = yi - cy
-            dxz = zi - cz
-            r2 = dxx * dxx + dxy * dxy + dxz * dxz
-            r = jnp.sqrt(r2)
-            valid = mask & (r > 0.0) & (r < r_cut)
-            gshort = _short_factor(r, hi, r_s)
-            inv_r3 = jnp.where(valid, 1.0 / jnp.where(valid, r2 * r, 1.0), 0.0)
-            coef = -G * jnp.where(valid, cm, 0.0) * gshort * inv_r3
-            ax = ax + jnp.sum(coef * dxx, axis=-1)
-            ay = ay + jnp.sum(coef * dxy, axis=-1)
-            az = az + jnp.sum(coef * dxz, axis=-1)
+        sb = (jax.lax.dynamic_slice_in_dim(starts, off_g // B, Gl)
+              if rows is not None else starts) // LANES
+        z = jnp.zeros((Gl, B), dtype)
+        ax, ay, az = z, z, z
+        lane = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+        for o in range(9):
+            lo = ki + (PLANE_OFFSETS[o] - 1)
+            hi_k = ki + (PLANE_OFFSETS[o] + 1)
+            for blk in range(cfg.grav_window_blocks):
+                brows = jnp.clip(sb[:, o] + blk, 0, R - 1)
+                cx = x2[brows][:, None, :]
+                cy = y2[brows][:, None, :]
+                cz = z2[brows][:, None, :]
+                cm = m2[brows][:, None, :]
+                kj = k2[brows][:, None, :]
+                gi = ((sb[:, o, None] + blk) * LANES + lane)[:, None, :]
+                mask = (kj >= lo) & (kj <= hi_k) & (gi >= 0) & (gi < cap)
+
+                dxx = xi - cx
+                dxy = yi - cy
+                dxz = zi - cz
+                r2 = dxx * dxx + dxy * dxy + dxz * dxz
+                r = jnp.sqrt(r2)
+                valid = mask & (r > 0.0) & (r < r_cut)
+                gshort = _short_factor(r, hi, r_s)
+                inv_r3 = jnp.where(valid,
+                                   1.0 / jnp.where(valid, r2 * r, 1.0), 0.0)
+                coef = -G * jnp.where(valid, cm, 0.0) * gshort * inv_r3
+                ax = ax + jnp.sum(coef * dxx, axis=-1)
+                ay = ay + jnp.sum(coef * dxy, axis=-1)
+                az = az + jnp.sum(coef * dxz, axis=-1)
+        axf, ayf, azf = ax.reshape(nloc), ay.reshape(nloc), az.reshape(nloc)
 
     # Un-permute to the caller's order: scatter each sorted row's force to
     # its source slot (dead pad rows carry src == -1, dropped).
     acc = jnp.zeros((p.capacity, 3), dtype)
     acc = acc.at[loc(src)].set(
-        jnp.stack([ax.reshape(nloc), ay.reshape(nloc), az.reshape(nloc)],
-                  axis=-1), mode="drop")
+        jnp.stack([axf, ayf, azf], axis=-1), mode="drop")
     if rows is None:
         return jnp.where(p.alive[:, None], acc, 0.0), n_over
     # Merge the per-device partial scatters, then hand back the caller's

@@ -128,3 +128,25 @@ def test_gravity_window_overflow_trips_on_clustering():
                     window_group=32, grav_window_blocks=1)
     _, n_over = pm_short_range(p, cfg, jnp.asarray(2.0))
     assert int(n_over) > 0
+
+
+def test_pallas_grav_short_matches_xla():
+    """The Pallas short-range gravity kernel (interpret mode) must match
+    the XLA slab path pairwise-exactly (same sorted order, same mask)."""
+    rng = np.random.default_rng(0)
+    n = 768
+    pos = rng.uniform(-50, 50, (n, 3))
+    p = Particles.create(pos=pos, vel=np.zeros((n, 3)),
+                         mass=np.full(n, 1.0 / n), u=np.ones(n), h=2.0)
+    cfg_x = SimConfig(gravity="pm", neighbor_mode="sorted", sorted_block=128,
+                      window_group=32, grav_window_blocks=12,
+                      use_pallas=False)
+    cfg_p = cfg_x.with_(use_pallas=True, pallas_interpret=True,
+                        grav_pallas_window=1536, grav_pallas_fetch=1792)
+    from summersph_tpu.ops.pm_gravity import pm_short_range
+    r_s = jnp.asarray(4.0)
+    ax, nx = pm_short_range(p, cfg_x, r_s)
+    ap, np_over = pm_short_range(p, cfg_p, r_s)
+    assert int(nx) == 0 and int(np_over) == 0
+    np.testing.assert_allclose(np.asarray(ap), np.asarray(ax),
+                               rtol=2e-5, atol=1e-8)
