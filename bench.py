@@ -39,7 +39,7 @@ def run_config(n, steps, gravity, use_pallas=True):
     cfg = SimConfig(
         fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
         use_pallas=use_pallas, sorted_block=128, window_group=32,
-        pallas_window=384, pallas_fetch_window=768,
+        pallas_window=256, pallas_fetch_window=768,
         grav_pallas_window=gw, grav_pallas_fetch=gw + 384,
         window_blocks=3, grav_window_blocks=8,
         gamma=1.4, bounding_size=1500.0,

@@ -1,0 +1,136 @@
+"""Graded config 5 evidence run: 1e6-particle self-gravitating collapse.
+
+The flagship capability demonstration (VERDICT round-1 item 3): a rotating
+cold cloud (uniform ball R=50 AU, M=50 M_sun, rigid rotation beta ~ 0.15,
+u=0.25 — the reference's Collapse.txt recipe scaled up 50x in N and 10x in
+mass, Disc_ICs.py:1-41) collapses under TreePM self-gravity with variable
+smoothing length until the density threshold creates sink particles
+(SUMMER_SPH - Variable.f90:549-597) which then accrete.
+
+Runs on the live backend in resumable segments; writes per-segment
+diagnostics (conservation ledger) to docs/results/collapse1m/ledger.csv and
+a checkpoint; scripts/config5_report.py turns the outputs into the plots +
+summary committed as evidence.
+
+Usage: python scripts/config5_run.py [--steps-per-seg 64] [--max-wall 5400]
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from summersph_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+from summersph_tpu.config import SimConfig
+from summersph_tpu.diagnostics import measure
+from summersph_tpu.integrate import prime, run_steps, warn_stats
+from summersph_tpu.io.checkpoint import load_npz_with_config, save_npz
+from summersph_tpu.models.disc import disc_ic
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "results", "collapse1m")
+N = int(os.environ.get("C5_N", 1_048_576))
+SMOKE = os.environ.get("C5_SMOKE", "0") == "1"  # tiny CPU shakedown
+T_END = 12.0  # ~1.4 free-fall times (t_ff = 8.8 yr at rho = 9.6e-5)
+
+
+def build():
+    cfg = SimConfig(
+        fixed_h=None, eta=1.2, h_iter_max=3, convergence_criteria=1e-3,
+        max_length=50.0,
+        gravity="pm", grav_grid=32 if SMOKE else 128, theta=0.5,
+        neighbor_mode="sorted", use_pallas=True, pallas_interpret=SMOKE,
+        sorted_block=128, window_group=32,
+        pallas_window=256, pallas_fetch_window=768,
+        grav_pallas_window=512 if SMOKE else 1920,
+        grav_pallas_fetch=896 if SMOKE else 2304,
+        gamma=1.4, bounding_size=1500.0,
+        sink_capacity=64,
+        dt_init=1e-4, dt_min=1e-7, dt_max=5e-3,
+        end_time=T_END,
+    )
+    # mean spacing scales as N^(-1/3): h0 ~ eta * spacing
+    h0 = 1.0 * (1_048_576 / N) ** (1.0 / 3.0)
+    state, _ = disc_ic(
+        n=N, r_max=50.0, m_disc=50.0, m_star=0.0, u0=0.25,
+        rotation="rigid", v_circ=3.3, h0=h0,
+        cfg=cfg, seed=0,
+    )
+    return state, cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps-per-seg", type=int, default=64)
+    ap.add_argument("--max-wall", type=float, default=5400.0)
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(OUT, exist_ok=True)
+    ckpt = os.path.join(OUT, "checkpoint.npz")
+    ledger = os.path.join(OUT, "ledger.csv")
+
+    if os.path.exists(ckpt) and not args.fresh:
+        state, cfg = load_npz_with_config(ckpt)
+        print(f"resumed t={float(state.t):.4f}", flush=True)
+    else:
+        state, cfg = build()
+        state = prime(state, cfg)
+        for f in (ledger,):
+            if os.path.exists(f):
+                os.remove(f)
+
+    new_ledger = not os.path.exists(ledger)
+    cols = ["t", "dt", "n_gas", "n_sinks", "m_gas", "m_sinks", "E_kin",
+            "E_int", "px", "py", "pz", "Lz", "rho_max", "h_min", "wall_s"]
+
+    t_start = time.time()
+    step_count = 0
+    with open(ledger, "a", newline="") as fh:
+        w = csv.writer(fh)
+        if new_ledger:
+            w.writerow(cols)
+        while float(state.t) < T_END and time.time() - t_start < args.max_wall:
+            t0 = time.time()
+            state = run_steps(state, cfg, args.steps_per_seg)
+            d = measure(state)
+            wall = time.time() - t0
+            step_count += args.steps_per_seg
+            p, s = state.particles, state.sinks
+            n_sinks = int(jnp.sum(s.alive & (s.mass > 0)))
+            m_sinks = float(d["mass_sinks"])
+            mom = np.asarray(d["momentum"])
+            row = [f"{float(state.t):.6f}", f"{float(state.dt):.3e}",
+                   int(p.n_alive), n_sinks,
+                   f"{float(d['mass_gas']):.8f}", f"{m_sinks:.8f}",
+                   f"{float(d['e_kin']):.6f}", f"{float(d['e_int']):.6f}",
+                   f"{mom[0]:.3e}", f"{mom[1]:.3e}", f"{mom[2]:.3e}",
+                   f"{float(np.asarray(d['ang_momentum'])[2]):.6f}",
+                   f"{float(d['rho_max']):.4e}",
+                   f"{float(d['h_min']):.4f}", f"{wall:.1f}"]
+            w.writerow(row)
+            fh.flush()
+            print(f"t={float(state.t):.4f} dt={float(state.dt):.2e} "
+                  f"N={int(p.n_alive)} sinks={n_sinks} m_sink={m_sinks:.4f} "
+                  f"rho_max={float(d['rho_max']):.3e} wall={wall:.1f}s "
+                  f"({args.steps_per_seg} steps)", flush=True)
+            warn_stats(state)
+            save_npz(ckpt, state, cfg)
+
+    save_npz(ckpt, state, cfg)
+    print(f"stopped at t={float(state.t):.4f} after {step_count} steps "
+          f"({time.time()-t_start:.0f}s wall)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,7 +59,8 @@ def main():
         fixed_h=None if variable_h else h0,
         gravity=gravity, neighbor_mode="sorted",
         use_pallas=True, sorted_block=128, window_group=32,
-        pallas_window=384, window_blocks=3, grav_window_blocks=8,
+        pallas_window=256, pallas_fetch_window=768,
+        window_blocks=3, grav_window_blocks=8,
         gamma=1.4, bounding_size=1500.0,
         dt_init=1e-4, dt_min=1e-5, dt_max=1e-3,
     )

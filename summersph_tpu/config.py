@@ -111,7 +111,7 @@ class SimConfig:
     window_group: int = 32
     window_blocks: int = 3              # 'sorted': 128-wide blocks per window
     use_pallas: bool = False            # 'sorted': Pallas pair kernels
-    pallas_window: int = 384            # Pallas: per-group compute window
+    pallas_window: int = 256            # Pallas: per-group compute window
     # Pallas: per-program fetch window (DMA granularity).  Must cover the
     # spread of a program's group windows + pallas_window; the gap to
     # pallas_window is capped at 7*128 lanes (3-bit packed sub-offsets).

@@ -152,11 +152,9 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
     h_pad = 1.0 if cfg.fixed_h is not None else cfg.sort_h_pad
     p2, sgrid = sort_particles(p, cfg, h_pad=h_pad)
     if cfg.use_pallas:
-        from .ops.pallas_pairs import pallas_density, pallas_forces
-        itp = cfg.pallas_interpret
-        p2 = pallas_density(p2, cfg, sgrid, interpret=itp)
-        p2 = eos_update(p2, cfg)
-        acc, du, dalpha = pallas_forces(p2, cfg, sgrid, interpret=itp)
+        from .ops.pallas_pairs import pallas_pair_eval
+        p2, acc, du, dalpha = pallas_pair_eval(
+            p2, cfg, sgrid, interpret=cfg.pallas_interpret)
     else:
         p2 = sorted_density(p2, cfg, sgrid)
         p2 = eos_update(p2, cfg)

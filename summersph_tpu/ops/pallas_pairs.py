@@ -77,28 +77,30 @@ def _effective_windows(cfg: SimConfig, n_cols: int):
     """(W, WB): compute window / fetch window clamped to the array size."""
     WB = min(cfg.pallas_fetch_window, n_cols)
     W = min(cfg.pallas_window, WB)
-    if (WB - W) // LANES > 7:
-        raise ValueError(
-            f"pallas_fetch_window - pallas_window ({WB - W}) must be "
-            f"<= {7 * LANES}: group sub-offsets are packed 3 bits per "
-            f"stencil offset")
     return W, WB
 
 
-def window_plan(grid: SortedGrid, cfg: SimConfig, n_rows_groups: int = 0):
-    """Two-level window plan for the kernels.
+def window_plan(grid: SortedGrid, cfg: SimConfig):
+    """Two-level, variable-depth window plan for the kernels.
 
     Returns (prog_starts [G_p, 9] int32, suboff_packed [G] int32,
-    eff_starts [G, 9] int32):
+    nslice_packed [G] int32, covered_ends [G, 9] int32):
       * prog_starts — 128-aligned per-program fetch starts (DMA bounds
         clamped to n - WB); Mosaic requires lane-dim DMA slice starts to be
         128-divisible, so all starts round down to LANES and the windows
         absorb the <= 127-lane slop,
       * suboff_packed — per group, 9 x 3-bit sub-offsets (in 128-lane
-        units) of the group's compute window inside its program's fetch,
-      * eff_starts — the resulting effective compute-window starts, for
-        overflow accounting: group g / offset o covers exactly
-        [eff, eff + W).
+        units) of the group's first compute slice inside its program's
+        fetch,
+      * nslice_packed — per group, 9 x 2-bit (n_slices - 1): how many
+        W-wide compute slices this group/offset needs to cover its
+        candidate range, bounded by what fits in the fetch.  The kernels
+        run slice 0 unconditionally and slices 1.. under `pl.when`, so the
+        heavy tail of window extents (SFC column jumps, clustered cells)
+        costs VPU time only where it occurs instead of fattening W for
+        every group,
+      * covered_ends — eff + n_sl * W, for overflow accounting: candidates
+        beyond this are dropped (counted by window_overflow).
     """
     n = grid.key.shape[0]
     S = cfg.sorted_block // cfg.window_group
@@ -108,52 +110,66 @@ def window_plan(grid: SortedGrid, cfg: SimConfig, n_rows_groups: int = 0):
     G_p = G // S
     a3 = aligned.reshape(G_p, S, 9)
     prog = jnp.minimum(a3.min(axis=1), max(n - WB, 0))       # [G_p, 9]
-    sub = jnp.clip((a3 - prog[:, None, :]) // LANES, 0, (WB - W) // LANES)
+    # first-slice start: 3-bit packed, and slice 0 must fit in the fetch;
+    # a clipped-down start only widens coverage leftward (harmless)
+    sub = jnp.clip((a3 - prog[:, None, :]) // LANES, 0,
+                   min((WB - W) // LANES, 7))
     eff = (prog[:, None, :] + sub * LANES).reshape(G, 9)
-    packed = jnp.sum(sub << (3 * jnp.arange(9, dtype=jnp.int32)),
-                     axis=-1, dtype=jnp.int32).reshape(G)
-    return prog, packed, eff
+    # slices this group needs, bounded by the fetch it can reach
+    need = -((eff - grid.ends) // W)                         # ceil div
+    fit = (WB - sub.reshape(G, 9) * LANES) // W
+    nsl = jnp.clip(need, 1, jnp.minimum(fit, 4))
+    covered = eff + nsl * W
+    lanes9 = jnp.arange(9, dtype=jnp.int32)
+    sub_packed = jnp.sum(sub << (3 * lanes9), axis=-1,
+                         dtype=jnp.int32).reshape(G)
+    nsl_packed = jnp.sum((nsl - 1) << (2 * lanes9), axis=-1,
+                         dtype=jnp.int32).reshape(G)
+    return prog, sub_packed, nsl_packed, covered
 
 
 def window_overflow(grid: SortedGrid, cfg: SimConfig) -> jax.Array:
-    """Candidates beyond the static window sizes (must be 0 for exactness)."""
-    _, _, eff = window_plan(grid, cfg)
-    W, _ = _effective_windows(cfg, grid.key.shape[0])
-    return jnp.sum(jnp.maximum(grid.ends - eff - W, 0))
+    """Candidates beyond the planned slices (must be 0 for exactness)."""
+    _, _, _, covered = window_plan(grid, cfg)
+    return jnp.sum(jnp.maximum(grid.ends - covered, 0))
 
 
 def _issue_window_dmas(starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr,
-                       rsems, wsems, prog, slot, window_big: int, b: int):
+                       rsems, wsems, prog, slot, window_big: int, b: int,
+                       nf: int):
     """Start the rows + 9 program-fetch-window copies for `prog` into `slot`.
 
     Rows come from `rows_hbm` (this device's row pack — a slice of the
     global sorted order under sharding, the whole pack single-chip);
-    windows always come from the full `cols_hbm` pack.
+    windows always come from the full `cols_hbm` pack.  `nf` is the field
+    count the kernel consumes — a 16-row shared pack feeds the 8-field
+    kernels by DMAing only its first 8 rows.
     """
     pltpu.make_async_copy(
-        rows_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
+        rows_hbm.at[:nf, pl.ds(pl.multiple_of(prog * b, 128), b)],
         rows_scr.at[slot], rsems.at[slot]).start()
     for o in range(9):
         st = pl.multiple_of(starts_ref[prog * 9 + o], 128)
         pltpu.make_async_copy(
-            cols_hbm.at[:, pl.ds(st, window_big)], win_scr.at[slot, o],
+            cols_hbm.at[:nf, pl.ds(st, window_big)], win_scr.at[slot, o],
             wsems.at[slot, o]).start()
 
 
 def _wait_window_dmas(starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr,
-                      rsems, wsems, prog, slot, window_big: int, b: int):
+                      rsems, wsems, prog, slot, window_big: int, b: int,
+                      nf: int):
     pltpu.make_async_copy(
-        rows_hbm.at[:, pl.ds(pl.multiple_of(prog * b, 128), b)],
+        rows_hbm.at[:nf, pl.ds(pl.multiple_of(prog * b, 128), b)],
         rows_scr.at[slot], rsems.at[slot]).wait()
     for o in range(9):
         st = pl.multiple_of(starts_ref[prog * 9 + o], 128)
         pltpu.make_async_copy(
-            cols_hbm.at[:, pl.ds(st, window_big)], win_scr.at[slot, o],
+            cols_hbm.at[:nf, pl.ds(st, window_big)], win_scr.at[slot, o],
             wsems.at[slot, o]).wait()
 
 
-def _density_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
-                    rows_scr, win_scr, out_vmem, rsems, wsems, osem,
+def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
+                    out_hbm, rows_scr, win_scr, out_vmem, rsems, wsems, osem,
                     *, window: int, window_big: int, b: int, s_sub: int):
     # Double-buffered across grid programs: program i issues i+1's DMAs
     # before computing on i's slot, hiding the (10 copies) DMA latency.
@@ -165,59 +181,71 @@ def _density_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
 
     @pl.when(i == 0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b)
+        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b, nf=DF)
 
     @pl.when(i + 1 < ng)
     def _():
-        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b)
+        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b,
+                           nf=DF)
 
-    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b)
+    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=DF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
+    max_slices = min(window_big // window, 4)
 
-    rho_subs = []
-    om_subs = []
-    for s in range(s_sub):
+    def row_fields(s):
         sub = slice(s * wg, (s + 1) * wg)
         xi = rows_ref[_IX, sub]
         yi = rows_ref[_IY, sub]
         zi = rows_ref[_IZ, sub]
         hi = rows_ref[_IH, sub]
         ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
+        return xi, yi, zi, hi, ki
 
-        rho = jnp.zeros((wg,), jnp.float32)
-        om = jnp.zeros((wg,), jnp.float32)
+    def tile(fields, o, base):
+        """[wg] (rho, omega) contributions of one W-slice window."""
+        xi, yi, zi, hi, ki = fields
         inv_hi = 1.0 / hi
         inv_pi_h3 = (1.0 / PI) * inv_hi * inv_hi * inv_hi
+        scratch = win_scr.at[slot, o]
+        xw = scratch[_IX, pl.ds(base, window)]
+        yw = scratch[_IY, pl.ds(base, window)]
+        zw = scratch[_IZ, pl.ds(base, window)]
+        mw = scratch[_IM, pl.ds(base, window)]
+        kw = jax.lax.bitcast_convert_type(
+            scratch[_IKEY, pl.ds(base, window)], jnp.int32)
 
+        mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
+                & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+        dxx = xi[:, None] - xw[None, :]
+        dxy = yi[:, None] - yw[None, :]
+        dxz = zi[:, None] - zw[None, :]
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        # rsqrt + mul instead of sqrt (and q via per-row 1/h): the VPU
+        # pair loop is compute-bound, transcendental slots count
+        r = r2 * jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
+        q = r * inv_hi[:, None]
+        w = w_shape(q)
+        # dW/dh = -(3 W + r dW/dr)/h; dW/dr = dw_shape/(pi h^4)
+        dwdh_shape = -(3.0 * w + q * dw_shape(q))
+        m = jnp.where(mask, mw[None, :], 0.0)
+        rho = jnp.sum(m * w, axis=1) * inv_pi_h3
+        om = jnp.sum(m * dwdh_shape, axis=1) * inv_pi_h3 * inv_hi
+        return rho, om
+
+    # pass 1: every group/offset's first slice, register-accumulated
+    rho_subs = []
+    om_subs = []
+    for s in range(s_sub):
+        fields = row_fields(s)
+        rho = jnp.zeros((wg,), jnp.float32)
+        om = jnp.zeros((wg,), jnp.float32)
         pk = suboff_ref[i * s_sub + s]
         for o in range(9):
-            base = pl.multiple_of(
-                ((pk >> (3 * o)) & 7) * LANES, 128)
-            scratch = win_scr.at[slot, o]
-            xw = scratch[_IX, pl.ds(base, window)]
-            yw = scratch[_IY, pl.ds(base, window)]
-            zw = scratch[_IZ, pl.ds(base, window)]
-            mw = scratch[_IM, pl.ds(base, window)]
-            kw = jax.lax.bitcast_convert_type(
-                scratch[_IKEY, pl.ds(base, window)], jnp.int32)
-
-            mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
-                    & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
-            dxx = xi[:, None] - xw[None, :]
-            dxy = yi[:, None] - yw[None, :]
-            dxz = zi[:, None] - zw[None, :]
-            r2 = dxx * dxx + dxy * dxy + dxz * dxz
-            # rsqrt + mul instead of sqrt (and q via per-row 1/h): the VPU
-            # pair loop is compute-bound, transcendental slots count
-            r = r2 * jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
-            q = r * inv_hi[:, None]
-            w = w_shape(q)
-            # dW/dh = -(3 W + r dW/dr)/h; dW/dr = dw_shape/(pi h^4)
-            dwdh_shape = -(3.0 * w + q * dw_shape(q))
-            m = jnp.where(mask, mw[None, :], 0.0)
-            rho = rho + jnp.sum(m * w, axis=1) * inv_pi_h3
-            om = om + jnp.sum(m * dwdh_shape, axis=1) * inv_pi_h3 * inv_hi
+            base = pl.multiple_of(((pk >> (3 * o)) & 7) * LANES, 128)
+            crho, com = tile(fields, o, base)
+            rho = rho + crho
+            om = om + com
         rho_subs.append(rho)
         om_subs.append(om)
 
@@ -225,6 +253,28 @@ def _density_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
     out_vmem[1, :] = jnp.concatenate(om_subs)
     for _pad_row in range(2, 8):
         out_vmem[_pad_row, :] = jnp.zeros((b,), jnp.float32)
+
+    # pass 2: extra slices for the heavy-tail groups only (pl.when skips
+    # the tile at runtime when the group's candidates fit in slice 0)
+    for s in range(s_sub):
+        if max_slices == 1:
+            break
+        fields = row_fields(s)
+        pk = suboff_ref[i * s_sub + s]
+        pn = nsl_ref[i * s_sub + s]
+        sl = slice(s * wg, (s + 1) * wg)
+        for o in range(9):
+            base0 = ((pk >> (3 * o)) & 7) * LANES
+            nsl_m1 = (pn >> (2 * o)) & 3
+            for k in range(1, max_slices):
+                @pl.when(k <= nsl_m1)
+                def _(_o=o, _base=base0 + k * window, _sl=sl,
+                      _fields=fields):
+                    crho, com = tile(_fields, _o,
+                                     pl.multiple_of(_base, 128))
+                    out_vmem[0, _sl] = out_vmem[0, _sl] + crho
+                    out_vmem[1, _sl] = out_vmem[1, _sl] + com
+
     ocopy = pltpu.make_async_copy(
         out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
     ocopy.start()
@@ -233,7 +283,8 @@ def _density_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
 
 def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
                 n_fields: int):
-    """(packed_rows, packed_cols, prog_starts, suboff, n_rows) for a launch.
+    """(packed_rows, packed_cols, prog_starts, suboff, nsl, n_rows) for a
+    kernel launch.
 
     rows=None: rows are the whole sorted set.  rows=(p_rows, offset):
     compute sums only for the `p_rows.capacity` sorted rows starting at
@@ -241,10 +292,10 @@ def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
     sorted order under sharding (parallel.sharded).
     """
     packed_cols = _pack(p, grid.key, n_fields)
-    prog, suboff, _ = window_plan(grid, cfg)
+    prog, suboff, nsl, _ = window_plan(grid, cfg)
     prog = prog.reshape(-1)
     if rows is None:
-        return packed_cols, packed_cols, prog, suboff, p.capacity
+        return packed_cols, packed_cols, prog, suboff, nsl, p.capacity
     p_rows, offset = rows
     n_rows = p_rows.capacity
     B, wg = cfg.sorted_block, cfg.window_group
@@ -254,27 +305,33 @@ def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
         prog, (offset // B * 9,), (n_rows // B * 9,))
     suboff_local = jax.lax.dynamic_slice(
         suboff, (offset // wg,), (n_rows // wg,))
-    return packed_rows, packed_cols, prog_local, suboff_local, n_rows
+    nsl_local = jax.lax.dynamic_slice(
+        nsl, (offset // wg,), (n_rows // wg,))
+    return packed_rows, packed_cols, prog_local, suboff_local, nsl_local, n_rows
 
 
 def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                        interpret: bool = False, rows=None):
+                        interpret: bool = False, rows=None, prebuilt=None):
     """(rho, omega_raw) for the sorted particles via the Pallas kernel.
 
     With rows=(p_rows, offset), sums are computed for that contiguous slice
-    of the sorted order only (columns stay the full set `p`)."""
+    of the sorted order only (columns stay the full set `p`).  `prebuilt`
+    short-circuits pack construction: (packed_rows, packed_cols, prog,
+    suboff, nsl, n_rows) from a previous launch this step (packs may carry
+    more than DF rows — the kernel DMAs only the first DF)."""
     n = p.capacity
     B = cfg.sorted_block
     S = B // cfg.window_group
     W, WB = _effective_windows(cfg, n)
-    packed_rows, packed_cols, prog, suboff, n_rows = _row_slices(
-        p, cfg, grid, rows, DF)
+    packed_rows, packed_cols, prog, suboff, nsl, n_rows = (
+        prebuilt if prebuilt is not None
+        else _row_slices(p, cfg, grid, rows, DF))
     G = n_rows // B
     # scalar operands are 1-D: SMEM pads the minor dim of 2-D scalar
     # operands to 128 lanes
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -297,11 +354,11 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prog, suboff, packed_rows, packed_cols)
+    )(prog, suboff, nsl, packed_rows, packed_cols)
     return out[0], out[1]
 
 
-def _force_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
+def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
                   rows_scr, win_scr, out_vmem, rsems, wsems, osem, *,
                   window: int, window_big: int, b: int, s_sub: int,
                   av_eps: float, beta_factor: float):
@@ -313,109 +370,131 @@ def _force_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
 
     @pl.when(i == 0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b)
+        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b, nf=FF)
 
     @pl.when(i + 1 < ng)
     def _():
-        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b)
+        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b,
+                           nf=FF)
 
-    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b)
+    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=FF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
+    max_slices = min(window_big // window, 4)
 
-    acc_subs = []
-    for s in range(s_sub):
+    def row_fields(s):
         sub = slice(s * wg, (s + 1) * wg)
 
         def row(idx, _sub=sub):
             return rows_ref[idx, _sub]
 
-        xi, yi, zi = row(_IX), row(_IY), row(_IZ)
-        vxi, vyi, vzi = row(_IVX), row(_IVY), row(_IVZ)
-        hi, pi_, rhoi = row(_IH), row(_IP), row(_IRHO)
-        omi, csi, ali = row(_IOM), row(_ICS), row(_IAL)
         ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
+        return (row(_IX), row(_IY), row(_IZ), row(_IVX), row(_IVY),
+                row(_IVZ), row(_IH), row(_IP), row(_IRHO), row(_IOM),
+                row(_ICS), row(_IAL), ki)
 
-        ax = jnp.zeros((wg,), jnp.float32)
-        ay = jnp.zeros((wg,), jnp.float32)
-        az = jnp.zeros((wg,), jnp.float32)
-        du = jnp.zeros((wg,), jnp.float32)
-        ar = jnp.zeros((wg,), jnp.float32)
-
+    def tile(fields, o, base):
+        """[wg] (ax, ay, az, du, alpha_raw) contributions of one slice."""
+        (xi, yi, zi, vxi, vyi, vzi, hi, pi_, rhoi, omi, csi, ali,
+         ki) = fields
         pterm_i = pi_ / (omi * rhoi * rhoi)
         inv_hi = 1.0 / hi
         inv_pi_hi4 = (1.0 / PI) * inv_hi * inv_hi * inv_hi * inv_hi
 
+        def col(idx, _o=o, _base=base):
+            return win_scr[slot, _o, idx, pl.ds(_base, window)]
+
+        xw, yw, zw = col(_IX), col(_IY), col(_IZ)
+        mw, hw = col(_IM), col(_IH)
+        vxw, vyw, vzw = col(_IVX), col(_IVY), col(_IVZ)
+        pw, rhow, omw = col(_IP), col(_IRHO), col(_IOM)
+        csw, alw = col(_ICS), col(_IAL)
+        kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
+
+        # per-column ([W]-shaped, cheap) reciprocals replace per-pair
+        # ([wg, W]) divisions; maximum-guards replace select chains —
+        # masked pairs carry m = 0, and every guarded quantity stays
+        # finite, so 0 * huge = 0 (never 0 * inf = NaN)
+        inv_hw = 1.0 / hw
+        inv_pi_hw4 = ((1.0 / PI) * inv_hw * inv_hw) * (inv_hw * inv_hw)
+        pterm_j = (pw / jnp.maximum(omw * rhow * rhow, 1.0e-30))[None, :]
+
+        mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
+                & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+
+        dxx = xi[:, None] - xw[None, :]
+        dxy = yi[:, None] - yw[None, :]
+        dxz = zi[:, None] - zw[None, :]
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
+        r = r2 * inv_r
+
+        dw_i = dw_shape(r * inv_hi[:, None]) * inv_pi_hi4[:, None]
+        dw_j = dw_shape(r * inv_hw[None, :]) * inv_pi_hw4[None, :]
+        dwbar = 0.5 * (dw_i + dw_j)
+
+        vx = vxi[:, None] - vxw[None, :]
+        vy = vyi[:, None] - vyw[None, :]
+        vz = vzi[:, None] - vzw[None, :]
+        vdotr = vx * dxx + vy * dxy + vz * dxz
+        vdotr_neg = jnp.minimum(vdotr, 0.0)
+
+        hbar = 0.5 * (hi[:, None] + hw[None, :])
+        mu = hbar * vdotr_neg / (r2 + av_eps * hbar * hbar)
+        cbar = 0.5 * (csi[:, None] + csw[None, :])
+        abar = 0.5 * (ali[:, None] + alw[None, :])
+        rhobar = 0.5 * (rhoi[:, None] + rhow[None, :])
+        visc = ((-abar * cbar * mu + beta_factor * abar * mu * mu)
+                / jnp.maximum(rhobar, 1.0e-30))
+
+        # self-pairs (r == 0) vanish without an explicit r > 0 guard:
+        # dw_shape(0) == 0 kills the pressure terms and vdotr == 0
+        # kills the viscous/heating terms
+        m = jnp.where(mask, mw[None, :], 0.0)
+        scal = pterm_i[:, None] * dw_i + pterm_j * dw_j + visc * dwbar
+        coef = -m * scal * inv_r
+        vdotgradw = vdotr * inv_r * dwbar
+        return (jnp.sum(coef * dxx, axis=1),
+                jnp.sum(coef * dxy, axis=1),
+                jnp.sum(coef * dxz, axis=1),
+                jnp.sum(m * vdotgradw * (pterm_i[:, None] + 0.5 * visc),
+                        axis=1),
+                jnp.sum(m * vdotgradw, axis=1))
+
+    acc_subs = []
+    for s in range(s_sub):
+        fields = row_fields(s)
+        acc = [jnp.zeros((wg,), jnp.float32) for _ in range(5)]
         pk = suboff_ref[i * s_sub + s]
         for o in range(9):
             base = pl.multiple_of(((pk >> (3 * o)) & 7) * LANES, 128)
-
-            def col(idx, _o=o, _base=base):
-                return win_scr[slot, _o, idx, pl.ds(_base, window)]
-
-            xw, yw, zw = col(_IX), col(_IY), col(_IZ)
-            mw, hw = col(_IM), col(_IH)
-            vxw, vyw, vzw = col(_IVX), col(_IVY), col(_IVZ)
-            pw, rhow, omw = col(_IP), col(_IRHO), col(_IOM)
-            csw, alw = col(_ICS), col(_IAL)
-            kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
-
-            # per-column ([W]-shaped, cheap) reciprocals replace per-pair
-            # ([wg, W]) divisions; maximum-guards replace select chains —
-            # masked pairs carry m = 0, and every guarded quantity stays
-            # finite, so 0 * huge = 0 (never 0 * inf = NaN)
-            inv_hw = 1.0 / hw
-            inv_pi_hw4 = ((1.0 / PI) * inv_hw * inv_hw) * (inv_hw * inv_hw)
-            pterm_j = (pw / jnp.maximum(omw * rhow * rhow, 1.0e-30))[None, :]
-
-            mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
-                    & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
-
-            dxx = xi[:, None] - xw[None, :]
-            dxy = yi[:, None] - yw[None, :]
-            dxz = zi[:, None] - zw[None, :]
-            r2 = dxx * dxx + dxy * dxy + dxz * dxz
-            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
-            r = r2 * inv_r
-
-            dw_i = dw_shape(r * inv_hi[:, None]) * inv_pi_hi4[:, None]
-            dw_j = dw_shape(r * inv_hw[None, :]) * inv_pi_hw4[None, :]
-            dwbar = 0.5 * (dw_i + dw_j)
-
-            vx = vxi[:, None] - vxw[None, :]
-            vy = vyi[:, None] - vyw[None, :]
-            vz = vzi[:, None] - vzw[None, :]
-            vdotr = vx * dxx + vy * dxy + vz * dxz
-            vdotr_neg = jnp.minimum(vdotr, 0.0)
-
-            hbar = 0.5 * (hi[:, None] + hw[None, :])
-            mu = hbar * vdotr_neg / (r2 + av_eps * hbar * hbar)
-            cbar = 0.5 * (csi[:, None] + csw[None, :])
-            abar = 0.5 * (ali[:, None] + alw[None, :])
-            rhobar = 0.5 * (rhoi[:, None] + rhow[None, :])
-            visc = ((-abar * cbar * mu + beta_factor * abar * mu * mu)
-                    / jnp.maximum(rhobar, 1.0e-30))
-
-            # self-pairs (r == 0) vanish without an explicit r > 0 guard:
-            # dw_shape(0) == 0 kills the pressure terms and vdotr == 0
-            # kills the viscous/heating terms
-            m = jnp.where(mask, mw[None, :], 0.0)
-            scal = pterm_i[:, None] * dw_i + pterm_j * dw_j + visc * dwbar
-            coef = -m * scal * inv_r
-            ax = ax + jnp.sum(coef * dxx, axis=1)
-            ay = ay + jnp.sum(coef * dxy, axis=1)
-            az = az + jnp.sum(coef * dxz, axis=1)
-
-            vdotgradw = vdotr * inv_r * dwbar
-            du = du + jnp.sum(m * vdotgradw * (pterm_i[:, None] + 0.5 * visc),
-                              axis=1)
-            ar = ar + jnp.sum(m * vdotgradw, axis=1)
-        acc_subs.append((ax, ay, az, du, ar))
+            contrib = tile(fields, o, base)
+            acc = [a + c for a, c in zip(acc, contrib)]
+        acc_subs.append(acc)
 
     for c in range(5):
         out_vmem[c, :] = jnp.concatenate([t[c] for t in acc_subs])
     for _pad_row in range(5, 8):
         out_vmem[_pad_row, :] = jnp.zeros((b,), jnp.float32)
+
+    for s in range(s_sub):
+        if max_slices == 1:
+            break
+        fields = row_fields(s)
+        pk = suboff_ref[i * s_sub + s]
+        pn = nsl_ref[i * s_sub + s]
+        sl = slice(s * wg, (s + 1) * wg)
+        for o in range(9):
+            base0 = ((pk >> (3 * o)) & 7) * LANES
+            nsl_m1 = (pn >> (2 * o)) & 3
+            for k in range(1, max_slices):
+                @pl.when(k <= nsl_m1)
+                def _(_o=o, _base=base0 + k * window, _sl=sl,
+                      _fields=fields):
+                    contrib = tile(_fields, _o, pl.multiple_of(_base, 128))
+                    for c in range(5):
+                        out_vmem[c, _sl] = out_vmem[c, _sl] + contrib[c]
+
     ocopy = pltpu.make_async_copy(
         out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
     ocopy.start()
@@ -423,19 +502,21 @@ def _force_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm, out_hbm,
 
 
 def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                      interpret: bool = False, rows=None):
+                      interpret: bool = False, rows=None, prebuilt=None):
     """(ax, ay, az, du, alpha_raw) for the sorted particles (or the
-    rows=(p_rows, offset) slice of them)."""
+    rows=(p_rows, offset) slice of them).  `prebuilt` as in
+    pallas_density_sums (must carry all FF rows)."""
     n = p.capacity
     B = cfg.sorted_block
     S = B // cfg.window_group
     W, WB = _effective_windows(cfg, n)
-    packed_rows, packed_cols, prog, suboff, n_rows = _row_slices(
-        p, cfg, grid, rows, FF)
+    packed_rows, packed_cols, prog, suboff, nsl, n_rows = (
+        prebuilt if prebuilt is not None
+        else _row_slices(p, cfg, grid, rows, FF))
     G = n_rows // B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -459,11 +540,11 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prog, suboff, packed_rows, packed_cols)
+    )(prog, suboff, nsl, packed_rows, packed_cols)
     return out[0], out[1], out[2], out[3], out[4]
 
 
-def _grav_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm,
+def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
                  out_hbm, rows_scr, win_scr, out_vmem, rsems, wsems, osem,
                  *, window: int, window_big: int, b: int, s_sub: int):
     """Short-range (TreePM complement) gravity pair sums.
@@ -487,15 +568,17 @@ def _grav_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm,
 
     @pl.when(i == 0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b)
+        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b, nf=DF)
 
     @pl.when(i + 1 < ng)
     def _():
-        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b)
+        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b,
+                           nf=DF)
 
-    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b)
+    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=DF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
+    max_slices = min(window_big // window, 4)
 
     r_s = rows_scr[slot, _IRS, 0]
     r_cut2 = rows_scr[slot, _IRCUT, 0]
@@ -503,72 +586,96 @@ def _grav_kernel(starts_ref, suboff_ref, rows_hbm, cols_hbm,
     inv_2rs = 0.5 / r_s
     inv_rs_sqrtpi = 1.0 / (r_s * jnp.sqrt(jnp.float32(PI)))
 
-    acc_subs = []
-    for s in range(s_sub):
+    def row_fields(s):
         sub = slice(s * wg, (s + 1) * wg)
         xi = rows_ref[_IX, sub]
         yi = rows_ref[_IY, sub]
         zi = rows_ref[_IZ, sub]
         inv_hi = 1.0 / rows_ref[_IH, sub]
         ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
+        return xi, yi, zi, inv_hi, ki
 
-        ax = jnp.zeros((wg,), jnp.float32)
-        ay = jnp.zeros((wg,), jnp.float32)
-        az = jnp.zeros((wg,), jnp.float32)
+    def tile(fields, o, base):
+        xi, yi, zi, inv_hi, ki = fields
+        scratch = win_scr.at[slot, o]
+        xw = scratch[_IX, pl.ds(base, window)]
+        yw = scratch[_IY, pl.ds(base, window)]
+        zw = scratch[_IZ, pl.ds(base, window)]
+        mw = scratch[_IM, pl.ds(base, window)]
+        kw = jax.lax.bitcast_convert_type(
+            scratch[_IKEY, pl.ds(base, window)], jnp.int32)
 
+        mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
+                & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+        dxx = xi[:, None] - xw[None, :]
+        dxy = yi[:, None] - yw[None, :]
+        dxz = zi[:, None] - zw[None, :]
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        valid = mask & (r2 > 0.0) & (r2 < r_cut2)
+        # clamp keeps inv_r^3 finite in f32 (masked pairs would
+        # otherwise produce 0 * inf = NaN); 1e-6 AU is far below any
+        # physical pair separation
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
+        r = r2 * inv_r
+        x = r * inv_2rs
+        expmx2 = jnp.exp(-x * x)
+        s_mesh = (erf_approx(x, expmx2)
+                  - r * inv_rs_sqrtpi * expmx2)
+        gshort = grav_shape(r * inv_hi[:, None]) - s_mesh
+        m = jnp.where(valid, mw[None, :], 0.0)
+        coef = (-G) * m * gshort * (inv_r * inv_r * inv_r)
+        return (jnp.sum(coef * dxx, axis=1),
+                jnp.sum(coef * dxy, axis=1),
+                jnp.sum(coef * dxz, axis=1))
+
+    acc_subs = []
+    for s in range(s_sub):
+        fields = row_fields(s)
+        acc = [jnp.zeros((wg,), jnp.float32) for _ in range(3)]
         pk = suboff_ref[i * s_sub + s]
         for o in range(9):
             base = pl.multiple_of(((pk >> (3 * o)) & 7) * LANES, 128)
-            scratch = win_scr.at[slot, o]
-            xw = scratch[_IX, pl.ds(base, window)]
-            yw = scratch[_IY, pl.ds(base, window)]
-            zw = scratch[_IZ, pl.ds(base, window)]
-            mw = scratch[_IM, pl.ds(base, window)]
-            kw = jax.lax.bitcast_convert_type(
-                scratch[_IKEY, pl.ds(base, window)], jnp.int32)
-
-            mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
-                    & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
-            dxx = xi[:, None] - xw[None, :]
-            dxy = yi[:, None] - yw[None, :]
-            dxz = zi[:, None] - zw[None, :]
-            r2 = dxx * dxx + dxy * dxy + dxz * dxz
-            valid = mask & (r2 > 0.0) & (r2 < r_cut2)
-            # clamp keeps inv_r^3 finite in f32 (masked pairs would
-            # otherwise produce 0 * inf = NaN); 1e-6 AU is far below any
-            # physical pair separation
-            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
-            r = r2 * inv_r
-            x = r * inv_2rs
-            expmx2 = jnp.exp(-x * x)
-            s_mesh = (erf_approx(x, expmx2)
-                      - r * inv_rs_sqrtpi * expmx2)
-            gshort = grav_shape(r * inv_hi[:, None]) - s_mesh
-            m = jnp.where(valid, mw[None, :], 0.0)
-            coef = (-G) * m * gshort * (inv_r * inv_r * inv_r)
-            ax = ax + jnp.sum(coef * dxx, axis=1)
-            ay = ay + jnp.sum(coef * dxy, axis=1)
-            az = az + jnp.sum(coef * dxz, axis=1)
-        acc_subs.append((ax, ay, az))
+            contrib = tile(fields, o, base)
+            acc = [a + c for a, c in zip(acc, contrib)]
+        acc_subs.append(acc)
 
     for c in range(3):
         out_vmem[c, :] = jnp.concatenate([t[c] for t in acc_subs])
     for _pad_row in range(3, 8):
         out_vmem[_pad_row, :] = jnp.zeros((b,), jnp.float32)
+
+    for s in range(s_sub):
+        if max_slices == 1:
+            break
+        fields = row_fields(s)
+        pk = suboff_ref[i * s_sub + s]
+        pn = nsl_ref[i * s_sub + s]
+        sl = slice(s * wg, (s + 1) * wg)
+        for o in range(9):
+            base0 = ((pk >> (3 * o)) & 7) * LANES
+            nsl_m1 = (pn >> (2 * o)) & 3
+            for k in range(1, max_slices):
+                @pl.when(k <= nsl_m1)
+                def _(_o=o, _base=base0 + k * window, _sl=sl,
+                      _fields=fields):
+                    contrib = tile(_fields, _o, pl.multiple_of(_base, 128))
+                    for c in range(3):
+                        out_vmem[c, _sl] = out_vmem[c, _sl] + contrib[c]
+
     ocopy = pltpu.make_async_copy(
         out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
     ocopy.start()
     ocopy.wait()
 
 
-def pallas_grav_short_sums(packed_rows, packed_cols, prog, suboff,
+def pallas_grav_short_sums(packed_rows, packed_cols, prog, suboff, nsl,
                            cfg: SimConfig, interpret: bool = False):
     """(ax, ay, az) short-range gravity sums over pre-packed [8, N] arrays.
 
     `packed_rows`/`packed_cols` use the gravity pack layout
     (x y z m h key r_s r_cut) in *gravity-sorted* order — the two traced
-    split scalars broadcast into the pad fields; `prog`/`suboff` are the
-    window plan for the gravity grid with cfg.grav_pallas_window /
+    split scalars broadcast into the pad fields; `prog`/`suboff`/`nsl` are
+    the window plan for the gravity grid with cfg.grav_pallas_window /
     cfg.grav_pallas_fetch as the window pair (ops.pm_gravity builds both).
     """
     B = cfg.sorted_block
@@ -581,7 +688,7 @@ def pallas_grav_short_sums(packed_rows, packed_cols, prog, suboff,
     G = n_rows // B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -604,7 +711,7 @@ def pallas_grav_short_sums(packed_rows, packed_cols, prog, suboff,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prog, suboff, packed_rows, packed_cols)
+    )(prog, suboff, nsl, packed_rows, packed_cols)
     return out[0], out[1], out[2]
 
 
@@ -638,5 +745,46 @@ def pallas_forces(p: Particles, cfg: SimConfig, grid: SortedGrid,
             jnp.where(alive, dalpha, 0.0))
 
 
+def pallas_pair_eval(p: Particles, cfg: SimConfig, grid: SortedGrid,
+                     interpret: bool = False):
+    """Fused density -> EOS -> forces with ONE shared [FF, N] pack.
+
+    The separate pallas_density/pallas_forces entry points each rebuild
+    their field pack; the pack is jnp.stack over strided [N, 3] component
+    reads — measured at several ms per build at N=131k, comparable to the
+    pair kernels themselves.  Here the pack is built once; the density
+    kernel DMAs its first DF rows, EOS runs on [N] arrays, and the four
+    density-derived rows are written back in place for the force kernel.
+
+    Single-chip only (the sharded path interleaves all_gathers between the
+    passes — integrate._force_eval_sorted_sharded).  Returns
+    (p with rho/omega/pressure/cs, acc, du, dalpha).
+    """
+    from .eos import eos_update
+
+    prebuilt = _row_slices(p, cfg, grid, None, FF)
+    pack = prebuilt[0]
+    rho_raw, omega_raw = pallas_density_sums(
+        p, cfg, grid, interpret=interpret, prebuilt=prebuilt)
+    rho, omega = pairs.finalize_density(rho_raw, omega_raw, p.h, p.alive)
+    if cfg.fixed_h is not None:
+        omega = jnp.ones_like(omega)
+    p = p.replace(rho=rho, omega=omega)
+    p = eos_update(p, cfg)
+
+    pack = (pack.at[_IP].set(p.pressure).at[_IRHO].set(rho)
+            .at[_IOM].set(p.omega).at[_ICS].set(p.cs))
+    prebuilt = (pack, pack) + prebuilt[2:]
+    ax, ay, az, du, araw = pallas_force_sums(
+        p, cfg, grid, interpret=interpret, prebuilt=prebuilt)
+    acc = jnp.stack([ax, ay, az], axis=-1)
+    dalpha = pairs.alpha_rate(araw, rho, p.alpha, p.cs, p.h, cfg)
+    alive = p.alive
+    return (p,
+            jnp.where(alive[:, None], acc, 0.0),
+            jnp.where(alive, du, 0.0),
+            jnp.where(alive, dalpha, 0.0))
+
+
 __all__ = ["pallas_density", "pallas_forces", "pallas_density_sums",
-           "pallas_force_sums", "window_overflow"]
+           "pallas_force_sums", "pallas_pair_eval", "window_overflow"]

@@ -289,15 +289,16 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
     # Group stencil windows (same machinery as ops.sorted_grid).
     kmin = key_s.reshape(Gn, B)[:, 0]
     kmax = key_s.reshape(Gn, B)[:, -1]
-    first_dead = jnp.searchsorted(key_s, SENTINEL_KEY, side="left"
-                                  ).astype(jnp.int32)
+    # == count of live keys (key_s is sorted with dead == SENTINEL at the
+    # end); a reduction beats a scalar bisection while-loop on this backend
+    first_dead = jnp.sum(key_s != SENTINEL_KEY).astype(jnp.int32)
     offs = jnp.asarray(PLANE_OFFSETS, jnp.int32)
     lo_w = kmin[:, None] + offs[None, :] - 1
     hi_w = kmax[:, None] + offs[None, :] + 1
-    starts = jnp.searchsorted(key_s, lo_w.reshape(-1), side="left"
-                              ).reshape(Gn, 9).astype(jnp.int32)
-    ends = jnp.searchsorted(key_s, hi_w.reshape(-1), side="right"
-                            ).reshape(Gn, 9).astype(jnp.int32)
+    starts = jnp.searchsorted(key_s, lo_w.reshape(-1), side="left",
+                              method="sort").reshape(Gn, 9).astype(jnp.int32)
+    ends = jnp.searchsorted(key_s, hi_w.reshape(-1), side="right",
+                            method="sort").reshape(Gn, 9).astype(jnp.int32)
     ends = jnp.minimum(ends, first_dead)
     ends = jnp.maximum(ends, starts)
     reach = (starts // LANES) * LANES + cfg.grav_window_blocks * LANES
@@ -341,16 +342,15 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
             key=key_s, starts=starts, ends=ends, origin=origin,
             cell_size=cell, n_window_overflow=jnp.zeros((), jnp.int32),
             n_clamped=jnp.zeros((), jnp.int32))
-        prog, suboff, eff = window_plan(gridlike, gcfg)
-        Wg, _ = _effective_windows(gcfg, cap)
-        n_over = jnp.sum(jnp.maximum(ends - eff - Wg, 0)).astype(jnp.int32)
+        prog, suboff, nsl, covered = window_plan(gridlike, gcfg)
+        n_over = jnp.sum(jnp.maximum(ends - covered, 0)).astype(jnp.int32)
         key_f = jax.lax.bitcast_convert_type(key_s, jnp.float32)
         rs_col = jnp.full_like(xs, jnp.asarray(r_s, xs.dtype))
         rcut_col = jnp.full_like(xs, jnp.asarray(r_cut, xs.dtype))
         packed = jnp.stack([xs, ys, zs, ms, hs, key_f, rs_col, rcut_col])
         prog_f = prog.reshape(-1)
         if rows is None:
-            packed_rows, prog_l, sub_l = packed, prog_f, suboff
+            packed_rows, prog_l, sub_l, nsl_l = packed, prog_f, suboff, nsl
         else:
             if nloc % cfg.sorted_block:
                 raise ValueError(
@@ -363,8 +363,10 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
                 prog_f, off_g // cfg.sorted_block * 9, nloc // cfg.sorted_block * 9)
             sub_l = jax.lax.dynamic_slice_in_dim(
                 suboff, off_g // B, nloc // B)
+            nsl_l = jax.lax.dynamic_slice_in_dim(
+                nsl, off_g // B, nloc // B)
         axf, ayf, azf = pallas_grav_short_sums(
-            packed_rows, packed, prog_l, sub_l, cfg,
+            packed_rows, packed, prog_l, sub_l, nsl_l, cfg,
             interpret=cfg.pallas_interpret)
     else:
         Gl = nloc // B

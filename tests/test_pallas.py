@@ -58,3 +58,28 @@ def test_pallas_handles_dead_particles():
     al = np.asarray(p2.alive)
     assert np.isfinite(rho).all()
     assert (rho[al] > 0).all()
+
+
+def test_pallas_multislice_windows_match_xla():
+    """Small pallas_window forces the variable-depth slice path (pl.when
+    slices 1..3) — results must still match the XLA engine exactly."""
+    p = lattice_particles(nside=8, spacing=1.0, h=1.3, jitter=0.25)
+    cfg = SimConfig(fixed_h=None, neighbor_mode="sorted", sorted_block=128,
+                    window_group=32, window_blocks=5,
+                    pallas_window=128, pallas_fetch_window=640,
+                    use_pallas=True)
+    p2, grid = sort_particles(p, cfg)
+    assert int(window_overflow(grid, cfg)) == 0
+
+    pd = sorted_density(p2, cfg, grid)
+    pp = pallas_density(p2, cfg, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(pp.rho), np.asarray(pd.rho),
+                               rtol=2e-5, atol=1e-7)
+
+    pe = eos_update(pd, cfg)
+    a1, d1, al1 = sorted_forces(pe, cfg, grid)
+    a2, d2, al2 = pallas_forces(pe, cfg, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=2e-4,
+                               atol=1e-6)
