@@ -61,9 +61,11 @@ def build():
     )
     # mean spacing scales as N^(-1/3): h0 ~ eta * spacing
     h0 = 1.0 * (1_048_576 / N) ** (1.0 / 3.0)
+    # rigid-body rotation at beta = E_rot/|E_grav| ~ 0.15: rim speed 4.2
+    # (Omega = 0.084/yr) for M=50, R=50
     state, _ = disc_ic(
         n=N, r_max=50.0, m_disc=50.0, m_star=0.0, u0=0.25,
-        rotation="rigid", v_circ=3.3, h0=h0,
+        rotation="rigidbody", v_circ=4.2, h0=h0,
         cfg=cfg, seed=0,
     )
     return state, cfg

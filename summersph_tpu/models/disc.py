@@ -68,6 +68,12 @@ def disc_ic(
         vmag = np.sqrt(G * max(m_star, 1.0e-30) / r_safe)
     elif rotation == "rigid":
         vmag = np.full(n, v_circ)
+    elif rotation == "rigidbody":
+        # true solid-body rotation (constant Omega = v_circ / r_max):
+        # the reference recipe's constant-speed field (Disc_ICs.py:21-24)
+        # diverges in angular velocity at the axis, which shock-compresses
+        # the axis into a spurious sink-creation storm in cold-collapse ICs
+        vmag = v_circ * r_cyl / r_max
     elif rotation == "none":
         vmag = np.zeros(n)
     else:

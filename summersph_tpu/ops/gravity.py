@@ -79,14 +79,21 @@ def sink_gravity(p: Particles, s: Sinks,
     pass `axis_name` to psum the gas->sink pull across devices (the
     replicated sink<->sink part is not summed).
     """
-    dx = p.pos[:, None, :] - s.pos[None, :, :]      # [N, S, 3]
-    r2 = jnp.sum(dx * dx, axis=-1)
-    r = jnp.sqrt(r2)
-    valid = p.alive[:, None] & s.alive[None, :] & (r > 0.0)
-    w = jnp.where(valid, G / jnp.where(valid, r2 * r, 1.0), 0.0)  # G/r^3
+    # [S, N] per-component layout: no [N, S, 3] intermediate (the minor-3
+    # tensor costs full extra passes at N=1e6)
+    S = s.capacity
+    dxc = [s.pos[:, c][:, None] - p.pos[:, c][None, :] for c in range(3)]
+    r2 = dxc[0] * dxc[0] + dxc[1] * dxc[1] + dxc[2] * dxc[2]
+    valid = p.alive[None, :] & s.alive[:, None] & (r2 > 0.0)
+    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
+    w = jnp.where(valid, G * (inv_r * inv_r * inv_r), 0.0)  # G/r^3
 
-    acc_gas = -jnp.sum((w * s.mass[None, :])[..., None] * dx, axis=1)
-    acc_sink = jnp.sum((w * p.mass[:, None])[..., None] * dx, axis=0)
+    wm_s = w * s.mass[:, None]                      # [S, N]
+    wm_p = w * jnp.where(p.alive, p.mass, 0.0)[None, :]
+    acc_gas = jnp.stack([jnp.sum(wm_s * dxc[c], axis=0) for c in range(3)],
+                        axis=-1)
+    acc_sink = jnp.stack([-jnp.sum(wm_p * dxc[c], axis=1) for c in range(3)],
+                         axis=-1)
     if axis_name is not None:
         acc_sink = jax.lax.psum(acc_sink, axis_name)
 

@@ -44,29 +44,45 @@ def accrete(p: Particles, s: Sinks,
     `axis_name` to psum the per-sink accretion sums across devices.
     """
     S = s.capacity
-    dx = p.pos[:, None, :] - s.pos[None, :, :]          # [N, S, 3]
-    dist = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
-    eligible = (p.alive[:, None] & s.alive[None, :]
-                & (s.mass[None, :] > 0.0) & (dist < s.radius[None, :]))
+    # [S, N] layout (few sublanes, N on lanes): no [N, S, 3] intermediate,
+    # and the per-sink sums are masked reduces instead of scatter-adds —
+    # XLA scatter onto the 8 sink slots measured 51 ms/step at N=1e6.
+    d2 = jnp.zeros((S, p.capacity), p.pos.dtype)
+    for c in range(3):
+        d = s.pos[:, c][:, None] - p.pos[:, c][None, :]
+        d2 = d2 + d * d
+    eligible = (p.alive[None, :] & s.alive[:, None]
+                & (s.mass[:, None] > 0.0)
+                & (d2 < (s.radius * s.radius)[:, None]))
 
-    # Nearest eligible sink per particle; S means "none".
-    dist_masked = jnp.where(eligible, dist, jnp.inf)
-    nearest = jnp.argmin(dist_masked, axis=1)
-    accreted = jnp.any(eligible, axis=1)
-    assign = jnp.where(accreted, nearest, S).astype(jnp.int32)
+    # Nearest eligible sink per particle.
+    d2_masked = jnp.where(eligible, d2, jnp.inf)
+    nearest = jnp.argmin(d2_masked, axis=0)             # [N]
+    accreted = jnp.any(eligible, axis=0)
+    claim = eligible & (jnp.arange(S, dtype=nearest.dtype)[:, None]
+                        == nearest[None, :])            # [S, N]
 
     m = jnp.where(accreted, p.mass, 0.0)
-    zeros = jnp.zeros((S,), p.mass.dtype)
-    msum = zeros.at[assign].add(m, mode="drop")
-    psum = jnp.zeros((S, 3), p.mass.dtype).at[assign].add(
-        m[:, None] * p.vel, mode="drop")
-    xsum = jnp.zeros((S, 3), p.mass.dtype).at[assign].add(
-        m[:, None] * p.pos, mode="drop")
+    w = jnp.where(claim, m[None, :], 0.0)               # [S, N]
+    msum = jnp.sum(w, axis=1)
+
+    def sink_field_at_gas(f):                           # [S] -> [N]
+        return jnp.sum(jnp.where(claim, f[:, None], 0.0), axis=0)
+
+    px = [p.pos[:, c] for c in range(3)]
+    vx = [p.vel[:, c] for c in range(3)]
+    psum = jnp.stack([jnp.sum(w * vx[c][None, :], axis=1) for c in range(3)],
+                     axis=-1)
+    xsum = jnp.stack([jnp.sum(w * px[c][None, :], axis=1) for c in range(3)],
+                     axis=-1)
     # Angular momentum of accreted gas about the sink's pre-accretion frame.
-    rel_x = p.pos - s.pos[jnp.minimum(assign, S - 1)]
-    rel_v = p.vel - s.vel[jnp.minimum(assign, S - 1)]
-    lsum = jnp.zeros((S, 3), p.mass.dtype).at[assign].add(
-        m[:, None] * jnp.cross(rel_x, rel_v), mode="drop")
+    rx = [px[c] - sink_field_at_gas(s.pos[:, c]) for c in range(3)]
+    rv = [vx[c] - sink_field_at_gas(s.vel[:, c]) for c in range(3)]
+    cross = (rx[1] * rv[2] - rx[2] * rv[1],
+             rx[2] * rv[0] - rx[0] * rv[2],
+             rx[0] * rv[1] - rx[1] * rv[0])
+    lsum = jnp.stack([jnp.sum(w * cross[c][None, :], axis=1)
+                      for c in range(3)], axis=-1)
 
     if axis_name is not None:
         msum, psum, xsum, lsum = jax.lax.psum(
@@ -103,11 +119,12 @@ def create_sinks(p: Particles, s: Sinks, cfg: SimConfig,
     accretion pass, exactly as in the reference.
     """
     code_density = p.mass * (cfg.eta / p.h) ** 3
-    dx = p.pos[:, None, :] - s.pos[None, :, :]
-    dist = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
-    near_sink = jnp.any(
-        s.alive[None, :] & (dist < s.radius[None, :] + 2.0 * p.h[:, None]),
-        axis=1)
+    d2 = jnp.zeros((s.capacity, p.capacity), p.pos.dtype)
+    for c in range(3):
+        d = s.pos[:, c][:, None] - p.pos[:, c][None, :]
+        d2 = d2 + d * d
+    reach = s.radius[:, None] + 2.0 * p.h[None, :]
+    near_sink = jnp.any(s.alive[:, None] & (d2 < reach * reach), axis=0)
     eligible = p.alive & (code_density > cfg.sink_create_density) & ~near_sink
 
     has_any = jnp.any(eligible)
