@@ -295,10 +295,10 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
     offs = jnp.asarray(PLANE_OFFSETS, jnp.int32)
     lo_w = kmin[:, None] + offs[None, :] - 1
     hi_w = kmax[:, None] + offs[None, :] + 1
-    starts = jnp.searchsorted(key_s, lo_w.reshape(-1), side="left",
-                              method="sort").reshape(Gn, 9).astype(jnp.int32)
-    ends = jnp.searchsorted(key_s, hi_w.reshape(-1), side="right",
-                            method="sort").reshape(Gn, 9).astype(jnp.int32)
+    from .sorted_grid import window_ranks
+    starts, ends = window_ranks(key_s, lo_w, hi_w)
+    starts = starts.reshape(Gn, 9)
+    ends = ends.reshape(Gn, 9)
     ends = jnp.minimum(ends, first_dead)
     ends = jnp.maximum(ends, starts)
     reach = (starts // LANES) * LANES + cfg.grav_window_blocks * LANES
