@@ -35,7 +35,7 @@ def run_config(n, steps, gravity, use_pallas=True):
     # Short-range gravity window: r_cut-cell occupancy scales ~linearly
     # with N at fixed mesh/box (rho * r_cut^3), so size the Pallas gravity
     # windows by N (the in-step grav_window_overflow counter guards drops).
-    gw = 512 if n <= 262144 else (1024 if n <= 524288 else 1920)
+    gw = 384 if n <= 262144 else (512 if n <= 524288 else 768)
     cfg = SimConfig(
         fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
         use_pallas=use_pallas, sorted_block=128, window_group=32,

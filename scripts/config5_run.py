@@ -52,8 +52,8 @@ def build():
         neighbor_mode="sorted", use_pallas=True, pallas_interpret=SMOKE,
         sorted_block=128, window_group=32,
         pallas_window=256, pallas_fetch_window=768,
-        grav_pallas_window=512 if SMOKE else 1920,
-        grav_pallas_fetch=896 if SMOKE else 2304,
+        grav_pallas_window=512 if SMOKE else 896,
+        grav_pallas_fetch=896 if SMOKE else 1280,
         gamma=1.4, bounding_size=1500.0,
         sink_capacity=64,
         dt_init=1e-4, dt_min=1e-7, dt_max=5e-3,

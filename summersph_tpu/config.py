@@ -76,7 +76,11 @@ class SimConfig:
     gravity: str = "none"
     grav_chunk: int = 1024              # pairwise chunk size for 'direct'
     grav_grid: int = 128                # PM mesh cells per axis (pre-padding)
-    grav_split_rs: float = 1.5          # Gaussian split scale, in mesh cells
+    # Gaussian split scale in mesh cells.  Short-range pair work scales as
+    # (split_rs)^3 at fixed rcut_rs; 1.0 measures 0.5% rms force error on a
+    # 100:1 clustered cloud (1.5 -> 0.23%) — both inside the reference
+    # theta=0.5 BH walk's ~1% class (tests/test_gravity.py).
+    grav_split_rs: float = 1.0
     # short-range cutoff in units of r_s; None derives it from `theta` via
     # effective_rcut_rs() so the reference's one gravity-accuracy knob
     # (parameters.txt theta, SUMMER_SPH.f90:825) controls PM accuracy too

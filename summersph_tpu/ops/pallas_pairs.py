@@ -11,29 +11,31 @@ Data layout: pair fields are packed [F, N] (field-major, particle minor) in
 sorted order, so each stencil window is one 2-D strided DMA.  The int32 cell
 key rides in an f32 lane via bitcast.
 
-Two-level windows (B = sorted_block rows per program, S = B/window_group
-window groups per program):
+Two-level, variable-depth windows (B = sorted_block rows per program,
+S = B/window_group window groups per program):
 
   * DMA granularity is the *program*: 9 fetch windows of WB =
     cfg.pallas_fetch_window lanes each, sized to cover the whole program's
     key span, land in VMEM scratch [9, F, WB] — 10 DMA descriptors per
     program (descriptor issue cost is a first-order term at ~100 B/descr).
-  * compute granularity is the *window group*: each group's exact window is
-    a 128-aligned W = cfg.pallas_window sub-slice of the program fetch,
-    found by a 3-bit packed per-group sub-offset ((WB - W) <= 7 * 128).
-    Small groups keep W down (~2x fewer wasted VPU lanes at 32 vs 128 rows,
-    measured — see SimConfig.window_group) without paying per-group DMAs.
-  * per window group and offset: [window_group, W] pair math with the exact
-    per-row key-range mask (ops.sorted_grid disjointness argument),
-    accumulated into [B] outputs.
+  * compute granularity is the *window group*: each group/offset computes
+    on one or more 128-aligned W = cfg.pallas_window slices of the program
+    fetch.  Slice 0 (3-bit packed sub-offset) runs unconditionally in the
+    register-accumulating main pass; the 2-bit packed slice count sends
+    heavy-tail groups (SFC column jumps, clustered cells) through extra
+    pl.when-guarded slices that read-modify-write the output VMEM —
+    adaptive depth, so the common case stays at W lanes while coverage
+    extends to the whole fetch (window_plan).
+  * per slice: [window_group, W] pair math with the exact per-row
+    key-range mask (ops.sorted_grid disjointness argument).
 
-Scalar prefetch carries the per-program starts [G_p * 9] plus one packed
-int32 of sub-offsets per group [G] — 426 KB of SMEM at N = 1e6 (the
-per-group starts layout overflowed the 1 MB SMEM there).
+Scalar prefetch carries per-program starts [G_p * 9] plus two packed
+int32s per group (sub-offsets, slice counts) — ~550 KB of SMEM at
+N = 1e6 (the per-group starts layout overflowed the 1 MB SMEM there).
 
-Correctness contract: candidates beyond a group's effective [start, start+W)
-window are *dropped*; the caller checks `window_overflow(grid, cfg)` == 0
-(tests assert it) and can raise cfg.pallas_window / cfg.pallas_fetch_window.
+Correctness contract: candidates beyond a group's planned slices are
+*dropped*; the caller checks `window_overflow(grid, cfg)` == 0 (tests
+assert it) and can raise cfg.pallas_window / cfg.pallas_fetch_window.
 """
 
 from __future__ import annotations
