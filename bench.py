@@ -1,24 +1,62 @@
 """Benchmark: particle-steps/sec on a Keplerian disc (BASELINE.md metric).
 
 Runs on whatever backend JAX picks (the driver runs this on the real TPU
-chip).  Prints ONE JSON line:
+chip).  Prints JSON lines of the form
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "sweep": {...}}
-vs_baseline is value / 1e8 — the BASELINE.json north star (1e8
-particle-steps/sec on a 1e6-particle Keplerian disc on v5e-8; the reference
-publishes no numbers of its own, BASELINE.md).  The headline value is the
-graded config: N=1e6, single chip.  `sweep` adds smaller-N and
-self-gravity (TreePM) variants.
+and the LAST line printed is always the most complete result.  The headline
+line (graded config: N=1e6 Keplerian disc, single chip) is printed and
+flushed IMMEDIATELY after it is measured, before any sweep work, so a
+wall-clock kill during the sweep still leaves a parseable artifact
+(round-2 lesson: the sweep-last layout timed out and the round's perf
+number was lost).  vs_baseline is value / 1e8 — the BASELINE.json north
+star; the reference publishes no numbers of its own (BASELINE.md).
 
 Env knobs: BENCH_N / BENCH_STEPS / BENCH_GRAVITY / BENCH_PALLAS override the
-headline config; BENCH_SWEEP=0 skips the sweep (faster CI runs).
+headline config; BENCH_SWEEP=0 skips the sweep; BENCH_BUDGET_S (default 540)
+is the wall budget — sweep configs that do not fit are skipped.
 """
 
+import glob
 import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def validate_cache(budget_s=90.0):
+    """Delete corrupt persistent-cache entries (truncated zstd frames).
+
+    A corrupt entry is worse than a missing one: jax silently falls back to
+    a from-scratch compile (minutes on the tunneled backend) every run and
+    never repairs the entry.  Round 2's bench timed out on exactly this
+    ("ZstdError: did not decompress full frame" on a jit_prime entry).
+    Newest entries are checked first so the budget protects current keys.
+    """
+    try:
+        import zstandard
+    except ImportError:
+        return
+    dctx = zstandard.ZstdDecompressor()
+    t0 = time.perf_counter()
+    files = sorted(glob.glob(os.path.join(CACHE_DIR, "*-cache")),
+                   key=os.path.getmtime, reverse=True)
+    for path in files:
+        if time.perf_counter() - t0 > budget_s:
+            break
+        try:
+            with open(path, "rb") as f:
+                dctx.decompress(f.read(), max_output_size=1 << 31)
+        except Exception:
+            try:
+                os.remove(path)
+                print(f"# removed corrupt cache entry {os.path.basename(path)}",
+                      file=sys.stderr)
+            except OSError:
+                pass
 
 
 def run_config(n, steps, gravity, use_pallas=True):
@@ -69,42 +107,55 @@ def run_config(n, steps, gravity, use_pallas=True):
     return alive * steps / dt_wall
 
 
+def emit(metric, value, sweep):
+    print(json.dumps({
+        "metric": metric,
+        "value": value,
+        "unit": "particle-steps/sec",
+        "vs_baseline": value / 1e8,
+        "sweep": sweep,
+    }), flush=True)
+
+
 def main():
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", 540.0))
     n = int(os.environ.get("BENCH_N", 1048576))
     steps = int(os.environ.get("BENCH_STEPS", 20))
     gravity = os.environ.get("BENCH_GRAVITY", "none")
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     do_sweep = os.environ.get("BENCH_SWEEP", "1") == "1"
 
+    validate_cache()
+
     import jax
     try:  # persistent compile cache (first compiles are minutes on the tunnel)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                       ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
+    metric = (f"particle-steps/sec (Keplerian disc, N={n}, "
+              f"gravity={gravity}, single chip)")
     value = run_config(n, steps, gravity, use_pallas)
     sweep = {}
+    emit(metric, value, sweep)  # headline lands before any sweep work
+
     if do_sweep:
-        for sn, sg in ((131072, "none"), (n, "pm")):
+        # Sweep entries are best-effort extra evidence; each re-checks the
+        # wall budget first (a cold compile costs minutes on the tunnel).
+        for sn, sg in ((n, "pm"), (131072, "none")):
             if (sn, sg) == (n, gravity):
+                continue
+            if time.perf_counter() - t_start > budget:
+                sweep[f"N={sn},gravity={sg}"] = "skipped: wall budget"
                 continue
             try:
                 sweep[f"N={sn},gravity={sg}"] = run_config(
                     sn, steps, sg, use_pallas)
-            except Exception as e:  # sweep is best-effort extra evidence
+            except Exception as e:
                 sweep[f"N={sn},gravity={sg}"] = f"failed: {e}"
-
-    print(json.dumps({
-        "metric": f"particle-steps/sec (Keplerian disc, N={n}, "
-                  f"gravity={gravity}, single chip)",
-        "value": value,
-        "unit": "particle-steps/sec",
-        "vs_baseline": value / 1e8,
-        "sweep": sweep,
-    }))
+            emit(metric, value, sweep)
 
 
 if __name__ == "__main__":
