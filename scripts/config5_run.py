@@ -33,7 +33,8 @@ enable_compile_cache()
 
 from summersph_tpu.config import SimConfig
 from summersph_tpu.diagnostics import measure
-from summersph_tpu.integrate import prime, run_steps, warn_stats
+from summersph_tpu.integrate import (SimulationDiverged, check_health, prime,
+                                     run_steps, warn_stats)
 from summersph_tpu.io.checkpoint import load_npz_with_config, save_npz
 from summersph_tpu.models.disc import disc_ic
 
@@ -128,6 +129,15 @@ def main():
                   f"({args.steps_per_seg} steps)", flush=True)
             warn_stats(state)
             save_npz(ckpt, state, cfg)
+            try:
+                # Abort-and-keep-the-evidence on NaN / total particle death
+                # (VERDICT r2: 55 segments of dead state were logged
+                # unnoticed); the ledger row and checkpoint above already
+                # capture the failing state.
+                check_health(state, where=f"after segment at t={row[0]}")
+            except SimulationDiverged as e:
+                print(f"ABORT: {e}", flush=True)
+                sys.exit(2)
 
     save_npz(ckpt, state, cfg)
     print(f"stopped at t={float(state.t):.4f} after {step_count} steps "

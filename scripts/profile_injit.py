@@ -30,18 +30,23 @@ def sync(x):
     np.asarray(leaf).ravel()[:1]
 
 
-def timeit_scan(name, fn, x0, k):
-    """Time fn applied k times in sequence inside one jit."""
+def timeit_scan(name, fn, x0, k, *extra):
+    """Time fn applied k times in sequence inside one jit.
+
+    `extra` arrays (e.g. the PM Green's table) are threaded as jit
+    *arguments* — closing over them would bake multi-MB constants into the
+    executable and send the compile pathological (pm_gravity
+    .green_kernel_k)."""
     @jax.jit
-    def loop(x):
+    def loop(x, *e):
         def body(c, _):
-            return fn(c), None
+            return fn(c, *e), None
         return jax.lax.scan(body, x, None, length=k)[0]
 
-    out = loop(x0)
+    out = loop(x0, *extra)
     sync(out)  # compile + warm
     t0 = time.perf_counter()
-    out = loop(x0)
+    out = loop(x0, *extra)
     sync(out)
     dt = (time.perf_counter() - t0) / k
     print(f"{name:34s} {dt*1e3:9.2f} ms/call", flush=True)
@@ -92,11 +97,15 @@ def main():
         return q.replace(acc=acc, du=du, dalpha=dalpha)
     timeit_scan("pallas_forces", force_phase, p2d, k)
 
-    if gravity in ("pm", "bh", "treepm"):
-        def pml(q):
-            acc, _, _, _ = pm_long_range(q, cfg)
+    grav_on = gravity in ("pm", "bh", "treepm")
+    if grav_on:
+        from summersph_tpu.ops.pm_gravity import grav_tables
+        kk = grav_tables(cfg)
+
+        def pml(q, kkk):
+            acc, _, _, _ = pm_long_range(q, cfg, kern_k=kkk)
             return q.replace(acc=acc)
-        timeit_scan("pm_long_range", pml, p2d, k)
+        timeit_scan("pm_long_range", pml, p2d, k, kk)
         r_s = cfg.grav_split_rs * 2.0  # representative split scale
 
         def pms(q):
@@ -114,7 +123,11 @@ def main():
     from summersph_tpu.integrate import prime, step
     st = prime(state, cfg)
     sync(st)
-    timeit_scan("full step", lambda s: step(s, cfg), st, max(2, k // 2))
+    if grav_on:
+        timeit_scan("full step", lambda s, kkk: step(s, cfg, kern_k=kkk),
+                    st, max(2, k // 2), kk)
+    else:
+        timeit_scan("full step", lambda s: step(s, cfg), st, max(2, k // 2))
 
 
 if __name__ == "__main__":

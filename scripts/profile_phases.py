@@ -89,8 +89,12 @@ def main():
     timeit("sink_gravity", sgrav_j, p2e, s, reps=reps)
 
     if gravity in ("pm", "bh", "treepm"):
-        pml_j = jax.jit(lambda p: pm_long_range(p, cfg))
-        (_, _, _, r_s), t_pml = timeit("pm_long_range", pml_j, p2e, reps=reps)
+        from summersph_tpu.ops.pm_gravity import grav_tables
+        kk = grav_tables(cfg)
+        # kk rides as a jit argument, not a baked constant (green_kernel_k)
+        pml_j = jax.jit(lambda p, kk: pm_long_range(p, cfg, kern_k=kk))
+        (_, _, _, r_s), t_pml = timeit("pm_long_range", pml_j, p2e, kk,
+                                       reps=reps)
         pms_j = jax.jit(lambda p, r: pm_short_range(p, cfg, r)[0])
         timeit("pm_short_range", pms_j, p2e, r_s, reps=reps)
 

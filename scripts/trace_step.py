@@ -50,19 +50,22 @@ def main():
     state, _ = disc_ic(n=n, r_max=100.0, m_star=5.0, h0=h0,
                        rotation="keplerian", cfg=cfg, seed=0)
 
+    from summersph_tpu.ops.pm_gravity import grav_tables
+    kk = grav_tables(cfg)  # jit argument, never a baked constant
+
     @jax.jit
-    def run(st):
-        return jax.lax.scan(lambda c, _: (step(c, cfg), None), st, None,
-                            length=k)[0]
+    def run(st, kk=None):
+        return jax.lax.scan(lambda c, _: (step(c, cfg, kern_k=kk), None),
+                            st, None, length=k)[0]
 
     st = prime(state, cfg)
-    out = run(st)
+    out = run(st, kk)
     np.asarray(jnp.ravel(out.t))  # warm (4-byte sync — PERF_NOTES caveat 2)
     with jax.profiler.trace(out_dir):
-        out = run(st)
+        out = run(st, kk)
         np.asarray(jnp.ravel(out.t))
 
-    hlo = jax.jit(run).lower(st).compile().as_text()
+    hlo = jax.jit(run).lower(st, kk).compile().as_text()
 
     path = sorted(glob.glob(os.path.join(
         out_dir, "plugins/profile/*/*.trace.json.gz")))[-1]

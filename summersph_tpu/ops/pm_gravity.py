@@ -44,6 +44,8 @@ theta=0.5 monopole walk (~1% typical).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +55,64 @@ from ..utils.units import G, PI
 from .kernels import grav_softening
 from .neighbors import SENTINEL_KEY
 from .sorted_grid import LANES, PLANE_OFFSETS, _cell_key, _pad_to
+
+
+@lru_cache(maxsize=4)
+def green_kernel_k(npad: int, grav_split_rs: float, dtype_str: str):
+    """Scale-free isolated-BC Green's function on the padded grid, in k-space.
+
+    Hockney-Eastwood: the FFT of the *open-space* smoothed point-mass
+    potential K(q) = -G erf(q / (2 r_s)) / q sampled with wrapped
+    displacements in cell units (q), with the CIC assignment window
+    deconvolved twice.  Scale-free: with r_s fixed in cell units, K never
+    changes as the particle box rescales, so this is a true one-time table.
+
+    Computed host-side in f64 numpy (exact, one-time: ~0.5 s at npad=256)
+    and memoized as a device array keyed on (npad, grav_split_rs, dtype).
+    It must be *passed into* jitted code as a runtime argument — baking a
+    tens-of-MB constant into an executable sends XLA compile times
+    pathological (round 2: a 384^3-padded compile was abandoned at 75 min)
+    and bloats the compile cache; as an argument the same mesh compiles in
+    seconds and the finer 256^3 mesh becomes usable.
+    """
+    import numpy as np
+    from scipy.special import erf as np_erf
+
+    idx = np.arange(npad)
+    d1 = np.where(idx <= npad // 2, idx, idx - npad).astype(np.float64)
+    q_grid = np.sqrt(d1[:, None, None] ** 2 + d1[None, :, None] ** 2
+                     + d1[None, None, :] ** 2)
+    q_safe = np.maximum(q_grid, 1.0e-30)
+    kq = -G * np_erf(q_safe / (2.0 * grav_split_rs)) / q_safe
+    kq[0, 0, 0] = -G / (grav_split_rs * float(np.sqrt(np.pi)))
+
+    # Deconvolve the CIC assignment window twice (deposit + interpolation):
+    # W_CIC(k) = prod_i sinc^2(k_i cell / 2), also scale-free in cell units.
+    kxq = np.fft.fftfreq(npad) * np.pi  # k * cell / 2 on the padded grid
+    kzq = np.fft.rfftfreq(npad) * np.pi
+
+    def sinc2(x):
+        s = np.where(np.abs(x) > 1.0e-6,
+                     np.sin(x) / np.where(np.abs(x) > 1.0e-6, x, 1.0), 1.0)
+        return s * s
+
+    w_cic = (sinc2(kxq)[:, None, None] * sinc2(kxq)[None, :, None]
+             * sinc2(kzq)[None, None, :])
+    cdtype = np.complex128 if dtype_str == "float64" else np.complex64
+    host = (np.fft.rfftn(kq) / np.maximum(w_cic * w_cic, 0.05)).astype(cdtype)
+    return jax.device_put(host)
+
+
+def grav_tables(cfg: SimConfig, dtype=None):
+    """The runtime gravity table bundle for `cfg` (None when gravity needs
+    none).  Host-level helper: call OUTSIDE jit and pass the result down as
+    the `kern_k` argument of prime/run_steps/step/force_eval — the integrate
+    wrappers do this automatically."""
+    if cfg.gravity not in ("bh", "pm", "treepm"):
+        return None
+    name = (dtype if isinstance(dtype, str)
+            else jnp.dtype(dtype or cfg.np_dtype()).name)
+    return green_kernel_k(2 * cfg.grav_grid, cfg.grav_split_rs, name)
 
 
 def _cic_deposit(pos, mass, origin, cell, n):
@@ -112,11 +172,17 @@ def _fd4_gradient(phi, cell):
 
 
 def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
-                  axis_name: str | None = None):
+                  axis_name: str | None = None, kern_k=None):
     """Gaussian-filtered long-range gravitational acceleration (CIC-PM).
 
     Returns (acc [N,3], origin, cell, r_s) — r_s is the split scale the
     short-range pass must complement.
+
+    `kern_k` is the precomputed Green's-function table (`grav_tables(cfg)`),
+    passed in as a runtime argument.  When omitted, the memoized table is
+    fetched here — fine outside jit, but *inside* a trace that bakes it
+    into the executable as a constant, which is only tolerated for small
+    test meshes (grav_grid < 128); larger meshes raise.
 
     Sharded (rows=(p_rows, offset), axis_name set): `p` is the replicated
     full set (box sizing), each device deposits only its `p_rows` slice,
@@ -148,48 +214,22 @@ def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
     rho_pad = jnp.zeros((npad, npad, npad), rho.dtype).at[:n, :n, :n].set(rho)
     rho_k = jnp.fft.rfftn(rho_pad)
 
-    # Isolated (vacuum) boundaries, Hockney-Eastwood style: the Green's
-    # function is the FFT of the *open-space* smoothed point-mass potential
-    #   phi_point(r) = -G erf(r / (2 r_s)) / r     (finite at r = 0)
-    # sampled on the padded grid with wrapped displacements.  (The naive
-    # -4 pi G / k^2 would impose periodic images at the padded box scale —
-    # measured as a few-percent force deficit.)
-    #
-    # Scale-free form: with r_s fixed in *cell units* (r_s = grav_split_rs
-    # * cell), phi_point(q * cell) = (1/cell) * K(q) where
-    # K(q) = -G erf(q / (2 grav_split_rs)) / q is dimensionless — so its
-    # padded-grid FFT, and the CIC deconvolution, are compile-time numpy
-    # constants (the box rescales every step as the particles move, but K_k
-    # never does).  This removes a third npad^3 FFT + an npad^3 erf from
-    # every evaluation (measured ~half of pm_long_range's runtime).
-    import numpy as np
-    idx = np.arange(npad)
-    d1 = np.where(idx <= npad // 2, idx, idx - npad).astype(np.float64)
-    q_grid = np.sqrt(d1[:, None, None] ** 2 + d1[None, :, None] ** 2
-                     + d1[None, None, :] ** 2)
-    q_safe = np.maximum(q_grid, 1.0e-30)
-    from scipy.special import erf as np_erf
-    kq = -G * np_erf(q_safe / (2.0 * cfg.grav_split_rs)) / q_safe
-    kq[0, 0, 0] = -G / (cfg.grav_split_rs * float(np.sqrt(np.pi)))
-
-    # Deconvolve the CIC assignment window twice (deposit + interpolation):
-    # W_CIC(k) = prod_i sinc^2(k_i cell / 2), also scale-free in cell units.
-    kxq = np.fft.fftfreq(npad) * np.pi  # k * cell / 2 on the padded grid
-    kzq = np.fft.rfftfreq(npad) * np.pi
-
-    def sinc2(x):
-        s = np.where(np.abs(x) > 1.0e-6,
-                     np.sin(x) / np.where(np.abs(x) > 1.0e-6, x, 1.0), 1.0)
-        return s * s
-    w_cic = (sinc2(kxq)[:, None, None] * sinc2(kxq)[None, :, None]
-             * sinc2(kzq)[None, None, :])
-    cdtype = np.complex128 if p.pos.dtype == jnp.float64 else np.complex64
-    kern_k_const = jnp.asarray(
-        (np.fft.rfftn(kq) / np.maximum(w_cic * w_cic, 0.05)).astype(cdtype))
+    # Isolated (vacuum) boundaries, Hockney-Eastwood style: see
+    # green_kernel_k.  The table is scale-free in cell units (the box
+    # rescales every step as the particles move; K_k never does), so the
+    # one-time host FFT covers every step of the run.
+    if kern_k is None:
+        if n >= 128:
+            raise ValueError(
+                f"pm_long_range at grav_grid={n} needs the Green's table "
+                f"passed as a runtime argument (grav_tables(cfg)); baking "
+                f"it as a trace constant makes XLA compiles pathological")
+        kern_k = green_kernel_k(npad, cfg.grav_split_rs,
+                                jnp.dtype(p.pos.dtype).name)
 
     # Dimensions restored at runtime: kern = K/cell, DFT->integral volume
     # factor cell^3 => phi_k = rho_k * K_k * cell^2.
-    phi_k = rho_k * kern_k_const * (cell * cell)
+    phi_k = rho_k * kern_k * (cell * cell)
 
     if cfg.grav_gradient == "fd":
         # One inverse FFT + cheap stencils; the Gaussian split suppresses
@@ -332,8 +372,7 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
         # Pallas two-level-window kernel (ops.pallas_pairs._grav_kernel):
         # exact extents instead of slab block rows — the XLA slab path
         # below burns 9 * grav_window_blocks * 128 lanes per row.
-        from .pallas_pairs import (_effective_windows, pallas_grav_short_sums,
-                                   window_plan)
+        from .pallas_pairs import pallas_grav_short_sums, window_plan
         from .sorted_grid import SortedGrid
 
         gcfg = cfg.with_(pallas_window=cfg.grav_pallas_window,
@@ -425,24 +464,26 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
 
 
 def gas_gravity_pm(p: Particles, cfg: SimConfig, rows=None,
-                   axis_name: str | None = None):
+                   axis_name: str | None = None, kern_k=None):
     """Full PM + short-range self-gravity.
 
     `p` is the full particle set (replicated under sharding); with
     rows=(p_rows, offset) the returned acc covers only that contiguous
     slice of p's order — the device's shard.  Sharded runs psum the CIC
     mesh (long range) and the scattered partial pair sums (short range),
-    so every device sees the global mass distribution.
+    so every device sees the global mass distribution.  `kern_k` is the
+    Green's table from `grav_tables(cfg)` (see pm_long_range).
 
     Returns (acc, n_window_overflow int32 — 0 means the short-range
     windows covered every candidate; nonzero means dropped pairs, surfaced
     through SimState.stats).
     """
     acc_long, _, _, r_s = pm_long_range(p, cfg, rows=rows,
-                                        axis_name=axis_name)
+                                        axis_name=axis_name, kern_k=kern_k)
     acc_short, n_over = pm_short_range(p, cfg, r_s, rows=rows,
                                        axis_name=axis_name)
     return acc_long + acc_short, n_over
 
 
-__all__ = ["gas_gravity_pm", "pm_long_range", "pm_short_range"]
+__all__ = ["gas_gravity_pm", "pm_long_range", "pm_short_range",
+           "grav_tables", "green_kernel_k"]

@@ -107,7 +107,7 @@ def accrete(p: Particles, s: Sinks,
 
 
 def create_sinks(p: Particles, s: Sinks, cfg: SimConfig,
-                 axis_name: str | None = None) -> Sinks:
+                 axis_name: str | None = None) -> Tuple[Sinks, jax.Array]:
     """Spawn a sink at the densest eligible particle, if any.
 
     Eligibility ("SUMMER_SPH - Variable.f90":549-597): the dimensionless
@@ -117,6 +117,12 @@ def create_sinks(p: Particles, s: Sinks, cfg: SimConfig,
     position/velocity, accretion radius 2h, and a tiny seed mass — the gas
     particle itself is left alive and is captured by the new sink on the next
     accretion pass, exactly as in the reference.
+
+    Returns (sinks, slots_full) where slots_full is int32 1 when an eligible
+    creation found every sink slot occupied — surfaced through
+    SimState.stats ("sink_slots_full") because silently skipping creation
+    leaves runaway-dense gas with no sink to absorb it (the round-2
+    4096-particle collapse froze exactly this way).
     """
     code_density = p.mass * (cfg.eta / p.h) ** 3
     d2 = jnp.zeros((s.capacity, p.capacity), p.pos.dtype)
@@ -159,7 +165,7 @@ def create_sinks(p: Particles, s: Sinks, cfg: SimConfig,
         mass=jnp.where(write, cfg.sink_create_mass, s.mass),
         radius=jnp.where(write, 2.0 * cand_h, s.radius),
     )
-    return s
+    return s, (has_any & ~has_slot).astype(jnp.int32)
 
 
 def cull_bounds(p: Particles, s: Sinks, cfg: SimConfig) -> Tuple[Particles, Sinks]:

@@ -13,6 +13,16 @@ then hysteresis on the running dt: grow x1.5 when the candidate exceeds 2 dt
 (SUMMER_SPH.f90:855-859).  Degenerate candidates (zero denominators on cold
 or static particles) are masked to +inf rather than propagating NaN — the
 reference relies on IEEE inf division giving the same effect.
+
+Deliberate deviation from SUMMER_SPH.f90:855-859 (`cfg.dt_bound_candidate`,
+default on): the result is additionally bounded by the candidate itself,
+dt <- max(min(hysteresis(dt), dt_cand), dt_min).  The reference's
+shrink-by-half-per-step cannot track a gravitational-collapse runaway —
+cs and |a| grow faster than 2x per step near sink formation, and inside a
+64-step jitted segment the controller falls behind until the AV mu term
+overflows f32 (the round-2 config-5 death).  Growth keeps the reference's
+damped x1.5 hysteresis.  Set dt_bound_candidate=False for the literal
+reference controller.
 """
 
 from __future__ import annotations
@@ -54,7 +64,10 @@ def next_timestep(p: Particles, dt, cfg: SimConfig,
     shrunk = jnp.where(
         (dt_cand < cfg.dt_shrink * dt) & (dt * cfg.dt_shrink > cfg.dt_min),
         cfg.dt_shrink * dt, grown)
-    return shrunk
+    if not cfg.dt_bound_candidate:
+        return shrunk
+    # Collapse guard (module docstring): never step past the candidate.
+    return jnp.maximum(jnp.minimum(shrunk, dt_cand), cfg.dt_min)
 
 
 __all__ = ["next_timestep"]

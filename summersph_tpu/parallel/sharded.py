@@ -21,7 +21,7 @@ identical program the TPU pod slice would run.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax
@@ -96,28 +96,44 @@ def _shard_map(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_rep=False)
 
 
+def _make_sharded(body2, cfg: SimConfig, mesh: Mesh, axis: str):
+    """Wrap body2(state, kern_k) -> state as a jitted shard_map callable of
+    state alone.  The gravity tables (integrate._tables) enter the shard_map
+    as a *replicated runtime input* (spec P()) — passing them as an argument
+    rather than a closure constant keeps the tens-of-MB Green's table out of
+    the executable (pm_gravity.green_kernel_k explains the compile-time
+    pathology of baking it)."""
+    from ..ops.pm_gravity import grav_tables
+
+    specs = state_specs(axis)
+    kern_k = grav_tables(cfg)
+    if kern_k is None:
+        fn = jax.jit(_shard_map(lambda st: body2(st, None),
+                                mesh, (specs,), specs))
+        return fn
+    fn = jax.jit(_shard_map(body2, mesh, (specs, P()), specs))
+    return lambda st: fn(st, kern_k)
+
+
 def make_sharded_prime(cfg: SimConfig, mesh: Mesh, axis: str = "dp"):
     """Jitted data-parallel force evaluation at the current positions.
 
     Run once before stepping when `cfg.reuse_forces` (see integrate.prime):
     the carried-rate KDK's first half-kick consumes F(x_0)."""
-    specs = state_specs(axis)
-
-    def body(state: SimState) -> SimState:
+    def body(state: SimState, kern_k) -> SimState:
         p, s, _ = force_eval(state.particles, state.sinks, cfg,
-                             axis_name=axis)
+                             axis_name=axis, kern_k=kern_k)
         return state.replace(particles=p, sinks=s)
 
-    fn = _shard_map(body, mesh, (specs,), specs)
-    return jax.jit(fn)
+    return _make_sharded(body, cfg, mesh, axis)
 
 
 def make_sharded_step(cfg: SimConfig, mesh: Mesh, axis: str = "dp"):
     """Jitted data-parallel step: SimState (sharded) -> SimState."""
-    specs = state_specs(axis)
-    fn = _shard_map(partial(step, cfg=cfg, axis_name=axis),
-                    mesh, (specs,), specs)
-    return jax.jit(fn)
+    def body(state: SimState, kern_k) -> SimState:
+        return step(state, cfg=cfg, axis_name=axis, kern_k=kern_k)
+
+    return _make_sharded(body, cfg, mesh, axis)
 
 
 def make_sharded_run_steps(cfg: SimConfig, mesh: Mesh, axis: str = "dp",
@@ -129,15 +145,13 @@ def make_sharded_run_steps(cfg: SimConfig, mesh: Mesh, axis: str = "dp",
     from the host: loop segments and test `state.t` between them (the same
     pattern as integrate.run_until).
     """
-    specs = state_specs(axis)
-
-    def body(state: SimState):
+    def body(state: SimState, kern_k):
         return jax.lax.scan(
-            lambda st, _: (step(st, cfg, axis_name=axis), None),
+            lambda st, _: (step(st, cfg, axis_name=axis, kern_k=kern_k),
+                           None),
             state, None, length=n_steps)[0]
 
-    fn = _shard_map(body, mesh, (specs,), specs)
-    return jax.jit(fn)
+    return _make_sharded(body, cfg, mesh, axis)
 
 
 def sharded_run_until(state: SimState, t_stop, cfg: SimConfig, mesh: Mesh,

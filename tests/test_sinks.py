@@ -61,20 +61,22 @@ def test_sink_creation_threshold_and_exclusion():
     p = Particles.create(pos=[[50.0, 0, 0], [0, 0, 0]], vel=np.zeros((2, 3)),
                          mass=[4.0, 1e-6], u=[1, 1], h=[1.0, 1.0])
     s = Sinks.zeros(4)
-    s2 = create_sinks(p, s, cfg)
+    s2, full2 = create_sinks(p, s, cfg)
+    assert int(full2) == 0
     assert int(s2.n_alive) == 1
     np.testing.assert_allclose(np.asarray(s2.pos)[0], [50.0, 0, 0])
     assert float(s2.radius[0]) == pytest.approx(2.0)  # 2h, V:582
 
     # re-run: the new sink's exclusion zone (radius + 2h) suppresses creation
-    s3 = create_sinks(p, s2, cfg)
+    s3, _ = create_sinks(p, s2, cfg)
     assert int(s3.n_alive) == 1
 
     # no free slots -> no creation
     s_full = Sinks.create(pos=np.zeros((1, 3)), vel=np.zeros((1, 3)),
                           mass=[1.0], radius=[0.1], capacity=1)
-    s4 = create_sinks(p.replace(pos=p.pos + 500.0), s_full, cfg)
+    s4, full4 = create_sinks(p.replace(pos=p.pos + 500.0), s_full, cfg)
     assert int(s4.n_alive) == 1
+    assert int(full4) == 1  # saturation is surfaced, not silent
 
 
 def test_bounds_culling():

@@ -24,10 +24,25 @@ def test_grows_when_candidate_large():
 
 
 def test_shrinks_when_candidate_small():
-    cfg = SimConfig(timestep_scale=0.25, dt_max=0.1, dt_min=1e-4)
+    # literal reference hysteresis (SUMMER_SPH.f90:855-859): halve per step
+    cfg = SimConfig(timestep_scale=0.25, dt_max=0.1, dt_min=1e-4,
+                    dt_bound_candidate=False)
     p = particle(vel=(100.0, 0, 0), acc=(1e6, 0, 0), cs=100.0, h=0.01)
     dt = float(next_timestep(p, 0.01, cfg))
     assert dt == pytest.approx(0.005)
+
+
+def test_candidate_bound_tracks_runaway():
+    # default collapse guard: dt cannot exceed the candidate (floored at
+    # dt_min) even when the x0.5 hysteresis would lag the runaway
+    cfg = SimConfig(timestep_scale=0.25, dt_max=0.1, dt_min=1e-6)
+    p = particle(vel=(100.0, 0, 0), acc=(1e6, 0, 0), cs=100.0, h=0.01)
+    # candidate = 0.25 * min(sqrt(v2/a2)=1e-4, h/v=1e-4, h/(2.2 cs)=4.5e-5)
+    dt = float(next_timestep(p, 0.01, cfg))
+    assert dt == pytest.approx(0.25 * 0.01 / (2.2 * 100.0), rel=1e-3)
+    # floor still applies
+    cfg2 = cfg.with_(dt_min=1e-4)
+    assert float(next_timestep(p, 0.01, cfg2)) == pytest.approx(1e-4)
 
 
 def test_hysteresis_band_keeps_dt():
@@ -46,8 +61,11 @@ def test_hysteresis_band_keeps_dt():
 def test_floor_and_cap():
     cfg = SimConfig(timestep_scale=0.25, dt_max=0.1, dt_min=1e-4)
     p = particle(vel=(100.0, 0, 0), acc=(1e6, 0, 0), cs=100.0, h=0.001)
-    # shrink blocked at the floor (dt*0.5 <= dt_min)
-    assert float(next_timestep(p, 2e-4, cfg)) == pytest.approx(2e-4)
+    # hysteresis shrink blocked at the floor (dt*0.5 <= dt_min): the literal
+    # controller keeps dt; the default candidate bound drops to dt_min
+    cfg_ref = cfg.with_(dt_bound_candidate=False)
+    assert float(next_timestep(p, 2e-4, cfg_ref)) == pytest.approx(2e-4)
+    assert float(next_timestep(p, 2e-4, cfg)) == pytest.approx(1e-4)
     # growth blocked at the cap (1.5*dt >= dt_max)
     p2 = particle(vel=(1e-3, 0, 0), acc=(1e-9, 0, 0), cs=1e-3, h=100.0)
     assert float(next_timestep(p2, 0.08, cfg)) == pytest.approx(0.08)
