@@ -149,12 +149,12 @@ def main():
                 continue
             if time.perf_counter() - t_start > budget:
                 sweep[f"N={sn},gravity={sg}"] = "skipped: wall budget"
-                continue
-            try:
-                sweep[f"N={sn},gravity={sg}"] = run_config(
-                    sn, steps, sg, use_pallas)
-            except Exception as e:
-                sweep[f"N={sn},gravity={sg}"] = f"failed: {e}"
+            else:
+                try:
+                    sweep[f"N={sn},gravity={sg}"] = run_config(
+                        sn, steps, sg, use_pallas)
+                except Exception as e:
+                    sweep[f"N={sn},gravity={sg}"] = f"failed: {e}"
             emit(metric, value, sweep)
 
 

@@ -91,7 +91,8 @@ def compute_density(rows: Particles, cfg: SimConfig,
     rho = unblock(rho_b, cap)
     omega_raw = unblock(omega_b, cap)
 
-    rho, omega = pairs.finalize_density(rho, omega_raw, rows.h, rows.alive)
+    rho, omega = pairs.finalize_density(rho, omega_raw, rows.h, rows.alive,
+                                        rows.mass)
     if cfg.fixed_h is not None:
         omega = jnp.ones_like(omega)
     return rows.replace(rho=rho, omega=omega)

@@ -53,29 +53,45 @@ def _safe_inv(x, cond):
 
 
 def density_sums(dxx, dxy, dxz, h_i, m_j, mask):
-    """Density + grad-h raw sums.
+    """Density + grad-h raw sums over NEIGHBOUR lanes (self excluded).
 
-    dxx/dxy/dxz: [..., C] components of x_i - x_j (self pair allowed and
-    *included*, matching the reference where each particle's own tree leaf
-    contributes W(0), SUMMER_SPH.f90:443-455).
+    dxx/dxy/dxz: [..., C] components of x_i - x_j.  Zero-distance lanes
+    (the particle's own candidate slot) are masked out here and the self
+    contribution W(0) is added analytically by `finalize_density` — so a
+    truncated candidate window can lose neighbours (counted by the overflow
+    stats) but can NEVER lose the self term.  Without this split, a row
+    whose own column fell outside an overflowing window came back with
+    rho = 0 -> the dead-lane sentinel rho = 1 -> the h iteration collapsed
+    h onto m(eta/h)^3 = 1 and spawned spurious sinks (the round-2 config-5
+    death; scripts/collapse_diag.py).  The reference sums self via its own
+    tree leaf instead (SUMMER_SPH.f90:443-455) — same totals.
     h_i: [..., 1]; m_j, mask: [..., C].
-    Returns (rho [...], omega_raw [...]).
+    Returns (rho [...], omega_raw [...]) WITHOUT the self term.
     """
-    r = jnp.sqrt(dxx * dxx + dxy * dxy + dxz * dxz)
+    r2 = dxx * dxx + dxy * dxy + dxz * dxz
+    r = jnp.sqrt(r2)
     w = kernel_w(r, h_i)
     dwdh = kernel_dwdh(r, h_i)
-    m = jnp.where(mask, m_j, 0.0)
+    m = jnp.where(mask & (r2 > 0.0), m_j, 0.0)
     rho = jnp.sum(m * w, axis=-1)
     omega_raw = jnp.sum(m * dwdh, axis=-1)
     return rho, omega_raw
 
 
-def finalize_density(rho, omega_raw, h, alive):
-    """Apply the grad-h Omega correction and make dead lanes inert.
+def finalize_density(rho, omega_raw, h, alive, m):
+    """Add the analytic self term, apply the grad-h Omega correction, and
+    make dead lanes inert.
 
-    Omega_i = 1 + h_i/(3 rho_i) * sum_j m_j dW/dh  (V:455).  Dead particles
-    get rho = 1, Omega = 1 so no downstream division can produce NaN.
+    Self: W(0, h) = 1/(pi h^3), dW/dh(0, h) = -3/(pi h^4) (w_shape(0) = 1,
+    dw_shape(0) = 0) — added here unconditionally so a live particle always
+    has rho >= m/(pi h^3) > 0 regardless of window coverage (see
+    density_sums).  Omega_i = 1 + h_i/(3 rho_i) * sum_j m_j dW/dh (V:455).
+    Dead particles get rho = 1, Omega = 1 so no downstream division can
+    produce NaN.
     """
+    inv_h3 = 1.0 / (jnp.pi * h * h * h)
+    rho = rho + m * inv_h3
+    omega_raw = omega_raw - 3.0 * m * inv_h3 / h
     ok = alive & (rho > 0.0)
     rho_safe = jnp.where(ok, rho, 1.0)
     omega = 1.0 + (h / (3.0 * rho_safe)) * jnp.where(ok, omega_raw, 0.0)

@@ -230,7 +230,10 @@ def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
         w = w_shape(q)
         # dW/dh = -(3 W + r dW/dr)/h; dW/dr = dw_shape/(pi h^4)
         dwdh_shape = -(3.0 * w + q * dw_shape(q))
-        m = jnp.where(mask, mw[None, :], 0.0)
+        # self excluded here, added analytically in finalize_density
+        # (pairs.density_sums explains why: windows may truncate, the
+        # self term must survive regardless)
+        m = jnp.where(mask & (r2 > 0.0), mw[None, :], 0.0)
         rho = jnp.sum(m * w, axis=1) * inv_pi_h3
         om = jnp.sum(m * dwdh_shape, axis=1) * inv_pi_h3 * inv_hi
         return rho, om
@@ -726,7 +729,8 @@ def pallas_density(p: Particles, cfg: SimConfig, grid: SortedGrid,
     rho, omega_raw = pallas_density_sums(p, cfg, grid, interpret=interpret,
                                          rows=rows)
     tgt = p if rows is None else rows[0]
-    rho, omega = pairs.finalize_density(rho, omega_raw, tgt.h, tgt.alive)
+    rho, omega = pairs.finalize_density(rho, omega_raw, tgt.h, tgt.alive,
+                                        tgt.mass)
     if cfg.fixed_h is not None:
         omega = jnp.ones_like(omega)
     return tgt.replace(rho=rho, omega=omega)
@@ -768,7 +772,8 @@ def pallas_pair_eval(p: Particles, cfg: SimConfig, grid: SortedGrid,
     pack = prebuilt[0]
     rho_raw, omega_raw = pallas_density_sums(
         p, cfg, grid, interpret=interpret, prebuilt=prebuilt)
-    rho, omega = pairs.finalize_density(rho_raw, omega_raw, p.h, p.alive)
+    rho, omega = pairs.finalize_density(rho_raw, omega_raw, p.h, p.alive,
+                                        p.mass)
     if cfg.fixed_h is not None:
         omega = jnp.ones_like(omega)
     p = p.replace(rho=rho, omega=omega)

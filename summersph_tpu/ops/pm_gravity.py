@@ -74,6 +74,13 @@ def green_kernel_k(npad: int, grav_split_rs: float, dtype_str: str):
     pathological (round 2: a 384^3-padded compile was abandoned at 75 min)
     and bloats the compile cache; as an argument the same mesh compiles in
     seconds and the finer 256^3 mesh becomes usable.
+
+    The table is returned as a REAL [npad, npad, npad/2+1] array: K(q) is
+    even in every axis (it depends on the wrapped displacement only through
+    q^2), so its rFFT is real to machine precision (measured max|imag| ~
+    8e-18 of max|real|) — and the axon-tunneled TPU backend raises
+    UNIMPLEMENTED on complex64 executable inputs/outputs, so a real table
+    is not just half the transfer, it is the only kind that works.
     """
     import numpy as np
     from scipy.special import erf as np_erf
@@ -98,8 +105,9 @@ def green_kernel_k(npad: int, grav_split_rs: float, dtype_str: str):
 
     w_cic = (sinc2(kxq)[:, None, None] * sinc2(kxq)[None, :, None]
              * sinc2(kzq)[None, None, :])
-    cdtype = np.complex128 if dtype_str == "float64" else np.complex64
-    host = (np.fft.rfftn(kq) / np.maximum(w_cic * w_cic, 0.05)).astype(cdtype)
+    rdtype = np.float64 if dtype_str == "float64" else np.float32
+    host = (np.fft.rfftn(kq).real
+            / np.maximum(w_cic * w_cic, 0.05)).astype(rdtype)
     return jax.device_put(host)
 
 

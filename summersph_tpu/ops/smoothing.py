@@ -44,8 +44,28 @@ from .neighbors import CellGrid, build_grid
 
 
 def _newton(h, rho, omega, m, eta):
+    """Safeguarded Newton update (deliberate deviation from V:529).
+
+    The raw reference step h*(1 + (target/rho - 1)/(3 Omega)) diverges where
+    Omega <= 0 — at a cloud rim the grad-h sum of a half-empty kernel makes
+    Omega ~ 0 or negative, the step flips sign, and h crashes to the floor
+    in one iteration.  Measured consequence (scripts/collapse_diag.py, N=8k
+    collapse): rim particles' h fell 5.0 -> 0.01-0.2 within 8 steps, their
+    code density m(eta/h)^3 spiked past the sink threshold, and 63 spurious
+    sinks spawned AT THE RIM before t=0.002 — the round-2 config-5 death.
+    Production SPH codes safeguard exactly this (e.g. Phantom's h-iteration
+    falls back to fixed-point when Omega misbehaves):
+
+    - Omega <= 0.01 (unphysical / catastrophic): drop the grad-h correction
+      for this iteration (Omega := 1), which recovers the fixed-point update
+      h <- h (target/rho)^(1/3) to first order — always the right direction.
+    - Trust region: one iteration may at most halve or double h, so a bad
+      density estimate cannot teleport h to the clamp rails.
+    """
     target = m * (eta / h) ** 3
-    return h * (1.0 + (target / rho - 1.0) / (3.0 * omega))
+    om = jnp.where(omega > 0.01, omega, 1.0)
+    h_new = h * (1.0 + (target / rho - 1.0) / (3.0 * om))
+    return jnp.clip(h_new, 0.5 * h, 2.0 * h)
 
 
 def update_smoothing(p: Particles, cfg: SimConfig,

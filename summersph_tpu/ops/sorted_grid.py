@@ -288,7 +288,8 @@ def sorted_density(p: Particles, cfg: SimConfig, grid: SortedGrid,
             omega_raw = omega_raw + w
 
     rho, omega = pairs.finalize_density(
-        rho.reshape(n_rows), omega_raw.reshape(n_rows), pr.h, pr.alive)
+        rho.reshape(n_rows), omega_raw.reshape(n_rows), pr.h, pr.alive,
+        pr.mass)
     if cfg.fixed_h is not None:
         omega = jnp.ones_like(omega)
     return pr.replace(rho=rho, omega=omega)

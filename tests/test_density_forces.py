@@ -66,11 +66,11 @@ def test_grid_matches_dense_density_and_forces():
     acc_d, du_d, dal_d = compute_sph_forces(pd, cfg_d)
     acc_g, du_g, dal_g = compute_sph_forces(pg, cfg_g, grid)
     np.testing.assert_allclose(np.asarray(acc_d), np.asarray(acc_g),
-                               rtol=1e-4, atol=1e-7)
+                               rtol=5e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(du_d), np.asarray(du_g),
-                               rtol=1e-4, atol=1e-7)
+                               rtol=5e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(dal_d), np.asarray(dal_g),
-                               rtol=1e-4, atol=1e-7)
+                               rtol=5e-4, atol=1e-6)
 
 
 def test_momentum_conservation_fixed_h():

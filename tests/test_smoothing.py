@@ -94,3 +94,47 @@ def test_cold_start_h_converges_through_steps():
     # after 3 steps x 3 Newton iterations the bulk has locked on
     assert np.median(rel) < 0.05, np.median(rel)
     assert np.isfinite(h).all()
+
+
+def test_newton_safeguard_rim_omega():
+    """A rim particle with near-zero/negative Omega must not have its h
+    crushed (the round-2 collapse death: V:529's raw Newton step flips sign
+    when Omega <= 0 and h falls to the floor in one step, spawning spurious
+    sinks at the cloud rim — ops/smoothing._newton docstring)."""
+    from summersph_tpu.ops.smoothing import _newton
+
+    h, m, eta = 5.0, 6.1e-3, 1.2
+    target_rho = m * (eta / h) ** 3
+    # density a bit BELOW target (rim deficit): correct move is h up
+    rho = 0.6 * target_rho
+    for omega in (1.0, 0.3, 0.01, -0.2, -5.0):
+        h_new = float(_newton(jnp.asarray(h), jnp.asarray(rho),
+                              jnp.asarray(omega), jnp.asarray(m), eta))
+        assert h_new > h, (omega, h_new)   # direction: grow
+        assert h_new <= 2.0 * h            # trust region
+    # density far ABOVE target with small positive Omega: the raw step is
+    # hugely negative; the trust region floors it at h/2 per iteration
+    h_new = float(_newton(jnp.asarray(h), jnp.asarray(1e3 * target_rho),
+                          jnp.asarray(0.2), jnp.asarray(m), eta))
+    assert h_new == 0.5 * h
+    # with Omega = 1 Newton's own factor bottoms out at 2/3 (target/rho >= 0)
+    h_new = float(_newton(jnp.asarray(h), jnp.asarray(1e3 * target_rho),
+                          jnp.asarray(1.0), jnp.asarray(m), eta))
+    assert h_new > 0.5 * h and h_new < h
+
+
+def test_sink_creation_ignores_dummy_origin_sink():
+    """The zero-mass dummy sink at the origin (SUMMER_SPH.f90:698-707 rule)
+    must not veto sink creation at the collapse centre."""
+    from summersph_tpu.ops.sinks import create_sinks
+    from summersph_tpu.state import Particles, Sinks
+
+    cfg = SimConfig(fixed_h=None, eta=1.2, sink_create_density=0.5)
+    # over-dense particle AT the origin, dummy zero-mass sink also at origin
+    p = Particles.create(pos=[[0.0, 0, 0]], vel=np.zeros((1, 3)),
+                         mass=[4.0], u=[1.0], h=[1.0])
+    s = Sinks.create(pos=np.zeros((1, 3)), vel=np.zeros((1, 3)),
+                     mass=[0.0], radius=[0.0], capacity=4)
+    s2, full = create_sinks(p, s, cfg)
+    assert int(full) == 0
+    assert int(jnp.sum(s2.alive & (s2.mass > 0))) == 1
