@@ -44,7 +44,8 @@ from summersph_tpu.models.disc import disc_ic
 
 
 def build(n, dtype, use_pallas, grav_grid, dt_max, h_iter_max,
-          sink_capacity, window_blocks=6):
+          sink_capacity, window_blocks=6, cell_h_quantile=0.9,
+          pallas_window=256, pallas_fetch_window=2560):
     # Same cloud as config5_run.py: R=50 AU, M=50 Msun, rigid rotation at
     # beta ~ 0.15 (rim speed 4.2), u=0.25; h0 from mean spacing ~ N^(-1/3).
     h0 = 1.0 * (1_048_576 / n) ** (1.0 / 3.0)
@@ -59,10 +60,16 @@ def build(n, dtype, use_pallas, grav_grid, dt_max, h_iter_max,
         # 1.5 h0 caps rim h at a modest density underestimate (rim dynamics
         # is gravity-dominated); interior particles converge below it.
         max_length=1.5 * h0,
+        # cells track the BULK h down as the cloud condenses (p90), not the
+        # capped rim tail: without this the core's cell occupancy blows out
+        # the candidate windows exactly when sink formation needs exact
+        # density (the N=65536 t~t_ff stall; config.cell_h_quantile)
+        cell_h_quantile=cell_h_quantile,
         gravity="pm", grav_grid=grav_grid, theta=0.5,
         neighbor_mode="sorted", use_pallas=use_pallas,
         sorted_block=128, window_group=32, window_blocks=window_blocks,
-        pallas_window=256, pallas_fetch_window=1280,
+        pallas_window=pallas_window,
+        pallas_fetch_window=pallas_fetch_window,
         grav_pallas_window=512, grav_pallas_fetch=896,
         gamma=1.4, bounding_size=1500.0,
         sink_capacity=sink_capacity,
@@ -87,10 +94,13 @@ def report(state, tag, wall):
     m_sink = float(jnp.sum(jnp.where(s.alive, s.mass, 0.0)))
     stats = state.stats_dict()
     trip = {k: v for k, v in stats.items() if v and k != "h_unconverged"}
+    hq = (np.percentile(h, [50, 90, 100]) if h.size
+          else np.array([np.inf] * 3))
     print(f"{tag} t={float(state.t):.5f} dt={float(state.dt):.2e} "
           f"N={alive.sum()} sinks={n_sink} m_sink={m_sink:.4f} | "
           f"rho_max={rho.max() if rho.size else 0:.3e} "
           f"h_min={h.min() if h.size else np.inf:.4f} "
+          f"h[50/90/max]={hq[0]:.2f}/{hq[1]:.2f}/{hq[2]:.2f} "
           f"u_max={u.max() if u.size else 0:.3e} "
           f"v_max={np.abs(vel).max() if vel.size else 0:.3e} "
           f"r_max={np.abs(pos).max() if pos.size else 0:.1f} "
@@ -113,6 +123,10 @@ def main():
     ap.add_argument("--sink-capacity", type=int, default=64)
     ap.add_argument("--t-end", type=float, default=12.0)
     ap.add_argument("--max-wall", type=float, default=7200.0)
+    ap.add_argument("--cell-h-quantile", type=float, default=0.9)
+    ap.add_argument("--window-blocks", type=int, default=6)
+    ap.add_argument("--pallas-window", type=int, default=256)
+    ap.add_argument("--pallas-fetch", type=int, default=2560)
     args = ap.parse_args()
 
     if args.dtype == "float64":
@@ -121,7 +135,10 @@ def main():
 
     state, cfg = build(args.n, args.dtype, not args.no_pallas,
                        args.grav_grid, args.dt_max, args.h_iter_max,
-                       args.sink_capacity)
+                       args.sink_capacity, window_blocks=args.window_blocks,
+                       cell_h_quantile=args.cell_h_quantile,
+                       pallas_window=args.pallas_window,
+                       pallas_fetch_window=args.pallas_fetch)
     t0 = time.time()
     state = prime(state, cfg)
     report(state, "seg 0000", time.time() - t0)

@@ -46,22 +46,29 @@ T_END = 12.0  # ~1.4 free-fall times (t_ff = 8.8 yr at rho = 9.6e-5)
 
 
 def build():
+    # mean spacing scales as N^(-1/3): h0 ~ eta * spacing
+    h0 = 1.0 * (1_048_576 / N) ** (1.0 / 3.0)
     cfg = SimConfig(
         fixed_h=None, eta=1.2, h_iter_max=3, convergence_criteria=1e-3,
-        max_length=50.0,
-        gravity="pm", grav_grid=32 if SMOKE else 128, theta=0.5,
+        # rim-h cap + bulk-tracking cells: the two fixes that carried the
+        # N=65536 shakedown past t_ff (scripts/collapse_diag.py; round-2's
+        # run died at t<0.15 with max_length=50 and h_max-sized cells)
+        max_length=1.5 * h0, cell_h_quantile=0.9,
+        gravity="pm", grav_grid=32 if SMOKE else 256, theta=0.5,
         neighbor_mode="sorted", use_pallas=True, pallas_interpret=SMOKE,
         sorted_block=128, window_group=32,
-        pallas_window=256, pallas_fetch_window=768,
+        # deep fetch + 8-slice adaptive windows: the condensing core packs
+        # thousands of candidates per group right when sink creation needs
+        # exact density (pallas_pairs.window_plan)
+        pallas_window=256, pallas_fetch_window=2560,
         grav_pallas_window=512 if SMOKE else 896,
         grav_pallas_fetch=896 if SMOKE else 1280,
         gamma=1.4, bounding_size=1500.0,
         sink_capacity=64,
+        kahan_u=True,  # f64-quality u ledger over ~1e4 steps (f32 state)
         dt_init=1e-4, dt_min=1e-7, dt_max=5e-3,
         end_time=T_END,
     )
-    # mean spacing scales as N^(-1/3): h0 ~ eta * spacing
-    h0 = 1.0 * (1_048_576 / N) ** (1.0 / 3.0)
     # rigid-body rotation at beta = E_rot/|E_grav| ~ 0.15: rim speed 4.2
     # (Omega = 0.084/yr) for M=50, R=50
     state, _ = disc_ic(

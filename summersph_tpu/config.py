@@ -140,6 +140,23 @@ class SimConfig:
     # up to (sort_h_pad * h_max) during the step's Newton update while the
     # step's one shared neighbour structure stays exact
     sort_h_pad: float = 1.2
+    # Cell sizing statistic: cells are 2 * h_pad * quantile(h_live, q).
+    # 1.0 (default) = the exact h_max sizing — every pair is inside the
+    # +-1-cell stencil.  q < 1 sizes cells by the BULK of the h
+    # distribution instead of its tail: in a collapse the rim's capped h
+    # would otherwise pin the global cell size while the core condenses,
+    # putting thousands of small-h core particles in one cell — candidate
+    # windows blow out exactly where sink formation needs exact density
+    # (measured: the N=65536 TPU collapse stalled at t~t_ff with 8e6
+    # dropped candidates/step and no sink; scripts/collapse_diag.py).
+    # With q < 1 the h cap min(max_length, cell/2) tracks the shrinking
+    # bulk, clamping only the top (1-q) tail (rim particles, gravity-
+    # dominated); particles whose PREVIOUS h still exceeds the shrunken
+    # cell/2 lose reach for one step and are counted in grid.n_clamped.
+    # The reference octree has no such coupling (per-particle walk,
+    # SUMMER_SPH.f90:323-457) — this knob is the grid engine's deliberate,
+    # monitored equivalent of its fixed `max_length` clamp (V:531).
+    cell_h_quantile: float = 1.0
 
     # --- integrator
     # One force evaluation per KDK step: the reference recomputes forces at
@@ -152,6 +169,12 @@ class SimConfig:
 
     # --- numerics
     dtype: str = "float32"              # 'float32' | 'float64'
+    # Kahan-compensated u accumulation in the kicks (state.Particles.u_c):
+    # recovers ~f64-quality energy accumulation on the f32 production path
+    # (the reference is f64 end-to-end, SUMMER_SPH.f90:6) for one extra
+    # sort operand.  Off by default; enable for long (>=1e4-step)
+    # conservation-critical runs.
+    kahan_u: bool = False
 
     def np_dtype(self):
         import jax.numpy as jnp

@@ -258,12 +258,26 @@ def _force_eval_sorted_sharded(p: Particles, s: Sinks, cfg: SimConfig,
 
 def kick(p: Particles, s: Sinks, dt):
     """Half-kick: v += a dt/2, u += du dt/2, alpha += dalpha dt/2
-    (SUMMER_SPH.f90:742-759)."""
+    (SUMMER_SPH.f90:742-759).
+
+    When the Kahan carry `u_c` is present (cfg.kahan_u via prime), the u
+    update is compensated: the f32 rounding error of each add is carried
+    into the next kick, recovering ~f64-quality accumulation over long
+    runs (the reference integrates in f64, SUMMER_SPH.f90:6).
+    """
     am = p.alive[:, None]
     al = p.alive
+    if p.u_c is None:
+        u = jnp.where(al, p.u + 0.5 * dt * p.du, p.u)
+        u_c = None
+    else:
+        y = 0.5 * dt * p.du - p.u_c
+        t = p.u + y
+        u_c = jnp.where(al, (t - p.u) - y, p.u_c)
+        u = jnp.where(al, t, p.u)
     p = p.replace(
         vel=jnp.where(am, p.vel + 0.5 * dt * p.acc, p.vel),
-        u=jnp.where(al, p.u + 0.5 * dt * p.du, p.u),
+        u=u, u_c=u_c,
         alpha=jnp.where(al, p.alpha + 0.5 * dt * p.dalpha, p.alpha),
     )
     sm = s.alive[:, None]
@@ -390,7 +404,21 @@ def prime(state: SimState, cfg: SimConfig) -> SimState:
     carry their rates.  On the sorted path the particle order is permuted
     (identity in pid), as everywhere else in the engine.
     """
+    state = init_kahan(state, cfg)
     return _prime_jit(state, _tables(state, cfg), cfg)
+
+
+def init_kahan(state: SimState, cfg: SimConfig) -> SimState:
+    """Attach (cfg.kahan_u) or drop the optional u_c Kahan-carry field so the
+    state's pytree structure matches the config.  `prime` calls this; sharded
+    drivers must call it before `shard_state` (parallel.sharded.state_specs
+    builds its specs from cfg.kahan_u)."""
+    p = state.particles
+    if cfg.kahan_u and p.u_c is None:
+        return state.replace(particles=p.replace(u_c=jnp.zeros_like(p.u)))
+    if not cfg.kahan_u and p.u_c is not None:
+        return state.replace(particles=p.replace(u_c=None))
+    return state
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -579,6 +607,6 @@ def simulate(
     return state
 
 
-__all__ = ["force_eval", "kick", "drift", "step", "prime", "run_until",
-           "run_steps", "simulate", "check_coverage", "warn_stats",
-           "check_health", "SimulationDiverged"]
+__all__ = ["force_eval", "kick", "drift", "step", "prime", "init_kahan",
+           "run_until", "run_steps", "simulate", "check_coverage",
+           "warn_stats", "check_health", "SimulationDiverged"]

@@ -30,7 +30,9 @@ def save_npz(path, state: SimState, cfg: Optional[SimConfig] = None) -> None:
     flat = {}
     for prefix, node in (("p", state.particles), ("s", state.sinks)):
         for name in node.__dataclass_fields__:
-            flat[f"{prefix}.{name}"] = np.asarray(getattr(node, name))
+            val = getattr(node, name)
+            if val is not None:  # optional fields (u_c) save only when set
+                flat[f"{prefix}.{name}"] = np.asarray(val)
     flat["t"] = np.asarray(state.t)
     flat["dt"] = np.asarray(state.dt)
     flat["stats"] = np.asarray(state.stats)

@@ -94,13 +94,13 @@ def window_plan(grid: SortedGrid, cfg: SimConfig):
       * suboff_packed — per group, 9 x 3-bit sub-offsets (in 128-lane
         units) of the group's first compute slice inside its program's
         fetch,
-      * nslice_packed — per group, 9 x 2-bit (n_slices - 1): how many
+      * nslice_packed — per group, 9 x 3-bit (n_slices - 1): how many
         W-wide compute slices this group/offset needs to cover its
-        candidate range, bounded by what fits in the fetch.  The kernels
-        run slice 0 unconditionally and slices 1.. under `pl.when`, so the
-        heavy tail of window extents (SFC column jumps, clustered cells)
-        costs VPU time only where it occurs instead of fattening W for
-        every group,
+        candidate range, bounded by what fits in the fetch (up to 8).  The
+        kernels run slice 0 unconditionally and slices 1.. under `pl.when`,
+        so the heavy tail of window extents (SFC column jumps, clustered
+        cells, a condensing collapse core) costs VPU time only where it
+        occurs instead of fattening W for every group,
       * covered_ends — eff + n_sl * W, for overflow accounting: candidates
         beyond this are dropped (counted by window_overflow).
     """
@@ -120,12 +120,12 @@ def window_plan(grid: SortedGrid, cfg: SimConfig):
     # slices this group needs, bounded by the fetch it can reach
     need = -((eff - grid.ends) // W)                         # ceil div
     fit = (WB - sub.reshape(G, 9) * LANES) // W
-    nsl = jnp.clip(need, 1, jnp.minimum(fit, 4))
+    nsl = jnp.clip(need, 1, jnp.minimum(fit, 8))
     covered = eff + nsl * W
     lanes9 = jnp.arange(9, dtype=jnp.int32)
     sub_packed = jnp.sum(sub << (3 * lanes9), axis=-1,
                          dtype=jnp.int32).reshape(G)
-    nsl_packed = jnp.sum((nsl - 1) << (2 * lanes9), axis=-1,
+    nsl_packed = jnp.sum((nsl - 1) << (3 * lanes9), axis=-1,
                          dtype=jnp.int32).reshape(G)
     return prog, sub_packed, nsl_packed, covered
 
@@ -193,7 +193,7 @@ def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
     _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=DF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
-    max_slices = min(window_big // window, 4)
+    max_slices = min(window_big // window, 8)
 
     def row_fields(s):
         sub = slice(s * wg, (s + 1) * wg)
@@ -270,7 +270,7 @@ def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
         sl = slice(s * wg, (s + 1) * wg)
         for o in range(9):
             base0 = ((pk >> (3 * o)) & 7) * LANES
-            nsl_m1 = (pn >> (2 * o)) & 3
+            nsl_m1 = (pn >> (3 * o)) & 7
             for k in range(1, max_slices):
                 @pl.when(k <= nsl_m1)
                 def _(_o=o, _base=base0 + k * window, _sl=sl,
@@ -385,7 +385,7 @@ def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
     _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=FF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
-    max_slices = min(window_big // window, 4)
+    max_slices = min(window_big // window, 8)
 
     def row_fields(s):
         sub = slice(s * wg, (s + 1) * wg)
@@ -491,7 +491,7 @@ def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
         sl = slice(s * wg, (s + 1) * wg)
         for o in range(9):
             base0 = ((pk >> (3 * o)) & 7) * LANES
-            nsl_m1 = (pn >> (2 * o)) & 3
+            nsl_m1 = (pn >> (3 * o)) & 7
             for k in range(1, max_slices):
                 @pl.when(k <= nsl_m1)
                 def _(_o=o, _base=base0 + k * window, _sl=sl,
@@ -583,7 +583,7 @@ def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
     _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=DF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
-    max_slices = min(window_big // window, 4)
+    max_slices = min(window_big // window, 8)
 
     r_s = rows_scr[slot, _IRS, 0]
     r_cut2 = rows_scr[slot, _IRCUT, 0]
@@ -658,7 +658,7 @@ def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
         sl = slice(s * wg, (s + 1) * wg)
         for o in range(9):
             base0 = ((pk >> (3 * o)) & 7) * LANES
-            nsl_m1 = (pn >> (2 * o)) & 3
+            nsl_m1 = (pn >> (3 * o)) & 7
             for k in range(1, max_slices):
                 @pl.when(k <= nsl_m1)
                 def _(_o=o, _base=base0 + k * window, _sl=sl,

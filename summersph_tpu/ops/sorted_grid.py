@@ -154,6 +154,8 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
     padded = _pad_to(cap, max(B, LANES))
     if padded != cap:
         base = Particles.zeros(padded, p.pos.dtype)
+        if p.u_c is not None:  # match the optional-carry pytree structure
+            base = base.replace(u_c=jnp.zeros((padded,), p.pos.dtype))
         p = jax.tree_util.tree_map(
             lambda full, part: full.at[:cap].set(part), base, p)
         cap = padded
@@ -165,28 +167,46 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
         cell_size = jnp.maximum(jnp.asarray(cell_size_override, p.pos.dtype),
                                 1.0e-12)
     else:
-        h_max = jnp.max(jnp.where(p.alive, p.h, 0.0))
-        cell_size = jnp.maximum(2.0 * h_max * h_pad, 1.0e-12)
+        q = cfg.cell_h_quantile
+        if q >= 1.0:
+            h_cell = jnp.max(jnp.where(p.alive, p.h, 0.0))
+        else:
+            # quantile of LIVE h: dead slots sort as 0 to the front, live
+            # occupy [cap - n_live, cap); q indexes within that span
+            hs = jnp.sort(jnp.where(p.alive, p.h, 0.0))
+            n_live = jnp.sum(p.alive).astype(jnp.int32)
+            idx = (cap - n_live
+                   + (q * jnp.maximum(n_live - 1, 0).astype(p.pos.dtype))
+                   .astype(jnp.int32))
+            h_cell = hs[jnp.clip(idx, 0, cap - 1)]
+        cell_size = jnp.maximum(2.0 * h_cell * h_pad, 1.0e-12)
 
     key = jnp.where(p.alive, _cell_key(p.pos, origin, cell_size),
                     SENTINEL_KEY)
     raw = (p.pos - origin) / cell_size
-    n_clamped = jnp.sum(p.alive & jnp.any(raw >= WINDOW, axis=-1)).astype(jnp.int32)
+    # n_clamped: particles the grid cannot fully represent — position past
+    # the 1024^3 key window, or (cell_h_quantile < 1) kernel support wider
+    # than the +-1-cell stencil this step (their h gets clamped to cell/2
+    # by the epilogue's h_cap; the violation lasts one step).
+    reach_over = p.alive & (2.0 * p.h * h_pad > cell_size)
+    pos_over = p.alive & jnp.any(raw >= WINDOW, axis=-1)
+    n_clamped = jnp.sum(pos_over | reach_over).astype(jnp.int32)
 
     # One fused sort of the pair-pass inputs (alive rides implicitly: live
     # particles carry key < SENTINEL_KEY by construction, dead carry exactly
     # SENTINEL_KEY, so alive == (key != SENTINEL_KEY) after the sort).
+    sort_fields = _SORT_FIELDS + (("u_c",) if p.u_c is not None else ())
     operands = [key]
     operands += [p.pos[:, k] for k in range(3)]
     operands += [p.vel[:, k] for k in range(3)]
-    operands += [getattr(p, f) for f in _SORT_FIELDS]
+    operands += [getattr(p, f) for f in sort_fields]
     operands += [p.pid]
     out = jax.lax.sort(operands, num_keys=1, is_stable=False)
     key_s = out[0]
     pos = jnp.stack(out[1:4], axis=-1)
     vel = jnp.stack(out[4:7], axis=-1)
-    rest = dict(zip(_SORT_FIELDS, out[7:7 + len(_SORT_FIELDS)]))
-    pid = out[7 + len(_SORT_FIELDS)]
+    rest = dict(zip(sort_fields, out[7:7 + len(sort_fields)]))
+    pid = out[7 + len(sort_fields)]
     zero = jnp.zeros_like(key_s, p.pos.dtype)
     p_s = p.replace(pos=pos, vel=vel, acc=jnp.zeros_like(pos),
                     alive=key_s != SENTINEL_KEY, pid=pid,

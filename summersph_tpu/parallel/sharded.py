@@ -44,13 +44,16 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(devices[:n], (axis,))
 
 
-def state_specs(axis: str = "dp") -> SimState:
+def state_specs(axis: str = "dp", kahan_u: bool = False) -> SimState:
     """PartitionSpec pytree for SimState: particles sharded on rows,
-    sinks/t/dt replicated."""
-    def fill(cls, spec):
-        return cls(**{f: spec for f in cls.__dataclass_fields__})
+    sinks/t/dt replicated.  `kahan_u` must match whether the state carries
+    the optional u_c field (pytree structures must agree)."""
+    def fill(cls, spec, skip=()):
+        return cls(**{f: spec for f in cls.__dataclass_fields__
+                      if f not in skip})
+    skip = () if kahan_u else ("u_c",)
     return SimState(
-        particles=fill(Particles, P(axis)),
+        particles=fill(Particles, P(axis), skip=skip),
         sinks=fill(Sinks, P()),
         t=P(), dt=P(), stats=P(),
     )
@@ -67,6 +70,8 @@ def pad_state_to_devices(state: SimState, n_devices: int,
         return state
     old = state.particles
     padded = Particles.zeros(cap + rem, old.pos.dtype)
+    if old.u_c is not None:  # match the optional-carry pytree structure
+        padded = padded.replace(u_c=jnp.zeros((cap + rem,), old.pos.dtype))
     merged = jax.tree_util.tree_map(
         lambda full, part: full.at[:cap].set(part), padded, old)
     return state.replace(particles=merged)
@@ -75,7 +80,8 @@ def pad_state_to_devices(state: SimState, n_devices: int,
 def shard_state(state: SimState, mesh: Mesh, axis: str = "dp") -> SimState:
     """Place the state on the mesh with the canonical shardings."""
     shardings = jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec), state_specs(axis),
+        lambda spec: NamedSharding(mesh, spec),
+        state_specs(axis, kahan_u=state.particles.u_c is not None),
         is_leaf=lambda x: isinstance(x, P))
     return jax.device_put(state, shardings)
 
@@ -105,7 +111,7 @@ def _make_sharded(body2, cfg: SimConfig, mesh: Mesh, axis: str):
     pathology of baking it)."""
     from ..ops.pm_gravity import grav_tables
 
-    specs = state_specs(axis)
+    specs = state_specs(axis, kahan_u=cfg.kahan_u)
     kern_k = grav_tables(cfg)
     if kern_k is None:
         fn = jax.jit(_shard_map(lambda st: body2(st, None),

@@ -57,6 +57,12 @@ class Particles:
     alive: jax.Array      # [N] bool
     pid: jax.Array        # [N] int32 stable particle id (reference `number`
                           # field, SUMMER_SPH.f90:15 — survives re-sorting)
+    # Optional Kahan carry for the u kick (None = plain f32 accumulation).
+    # The reference integrates u in f64 (SUMMER_SPH.f90:6); at f32, 1e5
+    # steps of u += du*dt/2 random-walk ~sqrt(2e5)*eps ~ 3e-5 relative —
+    # the carry recovers ~f64-quality accumulation for one extra sort
+    # operand.  Enable with cfg.kahan_u (integrate.kick).
+    u_c: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:

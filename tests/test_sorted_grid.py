@@ -105,3 +105,46 @@ def test_window_overflow_trips_midrun_on_clustering():
     state = run_steps(state, cfg, 2)
     assert int(state.stats_dict()["sph_window_overflow"]) > 0
     assert warn_stats(state) is True
+
+
+def test_quantile_cells_match_dense_when_tail_clamped():
+    """cell_h_quantile < 1 with a wide-h TAIL: the big-h particles are
+    counted in n_clamped (their reach exceeds the +-1-cell stencil) and
+    the BULK's density is still exact vs the dense oracle (the adaptive
+    cells cover every pair among bulk particles)."""
+    p = lattice_particles(nside=7, spacing=1.0, h=1.3, jitter=0.25)
+    # give 3 particles a rim-like oversized h (the capped-tail shape of a
+    # collapse); everyone else stays at the bulk h
+    h = np.full(p.capacity, 1.3, np.float32)
+    big = [0, 5, 11]
+    h[big] = 5.0
+    p = p.replace(h=jnp.asarray(h))
+
+    cfg_q = SimConfig(fixed_h=None, neighbor_mode="sorted", sorted_block=64,
+                      window_blocks=3, cell_h_quantile=0.9)
+    p2, grid = sort_particles(p, cfg_q, h_pad=1.0)
+    # cells sized by p90 of h = 1.3, so the 3 big-h particles lose reach
+    assert float(grid.cell_size) <= 2.0 * 1.3 + 1e-5
+    assert int(grid.n_clamped) >= len(big)
+
+    p2 = sorted_density(p2, cfg_q, grid)
+    cfg_d = SimConfig(fixed_h=None, neighbor_mode="dense")
+    from summersph_tpu.ops.density import compute_density
+    pd = compute_density(p, cfg_d)
+    rho_q = _by_pid(p2, p2.rho)[:p.capacity]
+    rho_d = _by_pid(pd, pd.rho)
+    bulk = np.ones(p.capacity, bool)
+    bulk[big] = False
+    np.testing.assert_allclose(rho_q[bulk], rho_d[bulk], rtol=2e-4)
+    # the clamped tail keeps its (exact) self term at minimum
+    assert (rho_q[~bulk] > 0).all()
+
+
+def test_quantile_cells_default_is_exact_hmax():
+    """cell_h_quantile=1.0 (default) must reproduce the h_max sizing."""
+    p = lattice_particles(nside=6, spacing=1.0, h=1.4, jitter=0.2)
+    cfg = SimConfig(fixed_h=None, neighbor_mode="sorted", sorted_block=64)
+    _, g1 = sort_particles(p, cfg, h_pad=1.2)
+    np.testing.assert_allclose(float(g1.cell_size), 2.0 * 1.4 * 1.2,
+                               rtol=1e-6)
+    assert int(g1.n_clamped) == 0
