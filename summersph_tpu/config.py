@@ -158,6 +158,36 @@ class SimConfig:
     # monitored equivalent of its fixed `max_length` clamp (V:531).
     cell_h_quantile: float = 1.0
 
+    # --- multi-chip decomposition (parallel.decomp; axis_name runs only)
+    # 'gather': replicated global sort, each device owns a 1/D row slab of
+    #           it, columns are the all_gathered full set — O(N) memory and
+    #           comm per device, simple and fast at N <= ~1e6 x 8.
+    # 'slab'  : SFC rank-slab ownership with sampled-splitter all_to_all
+    #           redistribution and rim (halo) ppermute exchange — memory
+    #           and comm per device are O(N/D + rim), the scaling mode.
+    decomp: str = "gather"
+    # 'slab': rim rows exchanged with each rank-neighbour (multiple of 128).
+    # Must cover the stencil's rank-space reach (~3 x-planes of particles);
+    # under-coverage is counted in the stats vector, never silent.
+    halo_rows: int = 1024
+    # 'slab': rim rows for the PM short-range pass, whose r_cut stencil
+    # reaches further than the SPH kernel's (r_cut >= several SPH cells).
+    grav_halo_rows: int = 2048
+    # 'slab': rank-neighbour hops per side of a rim exchange.  1 suffices
+    # when slabs are much larger than the stencil's rank reach (the
+    # production regime); raise it when per-device particle counts are
+    # small enough that a stencil can span several devices (the
+    # `decomp_pressure` stats slot reports under-coverage loudly).
+    halo_hops: int = 1
+    # 'slab': per-destination all_to_all chunk capacity (rows).  Bounds how
+    # many particles may migrate from one device to one other device in a
+    # single step; overflow keeps the particle home for a step (mis-owned,
+    # counted loudly in stats).
+    migrate_rows: int = 1024
+    # 'slab': per-device splitter sample size (the all_gathered sample is
+    # decomp_samples * n_devices keys; slab imbalance ~ N/samples).
+    decomp_samples: int = 256
+
     # --- integrator
     # One force evaluation per KDK step: the reference recomputes forces at
     # the start of each step (SUMMER_SPH.f90:895-898) at the *same positions*

@@ -106,6 +106,9 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     if cfg.neighbor_mode == "sorted":
         if axis_name is None:
             return _force_eval_sorted(p, s, cfg, kern_k=kern_k)
+        if cfg.decomp == "slab":
+            return _force_eval_sorted_decomp(p, s, cfg, axis_name,
+                                             kern_k=kern_k)
         return _force_eval_sorted_sharded(p, s, cfg, axis_name,
                                           kern_k=kern_k)
 
@@ -256,6 +259,78 @@ def _force_eval_sorted_sharded(p: Particles, s: Sinks, cfg: SimConfig,
     return p_rows, s.replace(acc=acc_sink), (grid, grav_over)
 
 
+def _force_eval_sorted_decomp(p: Particles, s: Sinks, cfg: SimConfig,
+                              axis_name: str, kern_k=None):
+    """The sorted engine under SFC slab decomposition (parallel.decomp).
+
+    Unlike _force_eval_sorted_sharded (replicated sort, O(N) per-device
+    memory/comm), every per-device array here is O(N/D + rim): particles
+    are re-owned into contiguous global-rank slabs (sampled-splitter
+    all_to_all), each device exchanges only its rim rows with its rank
+    neighbours (ppermute), and the pair passes run rows=own against the
+    local rim-extended column set.  PM gravity deposits the local slab and
+    psums the mesh; its short-range pass runs on a wider rim.  Capacity
+    pressure (migration chunk / slab / rim overflow) is counted into the
+    `decomp_pressure` stats slot — loud, never silent.
+    """
+    from .parallel.decomp import (DecompAux, attach_density, build_cols,
+                                  exchange_rim, global_geometry,
+                                  redistribute)
+    from .ops.sorted_grid import sorted_density, sorted_forces
+
+    nloc = p.capacity
+    granule = max(cfg.sorted_block, 128)
+    if nloc % granule or cfg.halo_rows % 128 or cfg.grav_halo_rows % 128:
+        raise ValueError(
+            f"decomp='slab' needs per-device capacity ({nloc}), halo_rows "
+            f"({cfg.halo_rows}) and grav_halo_rows ({cfg.grav_halo_rows}) "
+            f"to be multiples of {granule}/128/128")
+    if cfg.use_pallas:
+        _check_pallas_cfg(cfg)
+
+    h_pad = 1.0 if cfg.fixed_h is not None else cfg.sort_h_pad
+    origin, cell = global_geometry(p, cfg, axis_name, h_pad=h_pad)
+    key_own, p2, _, n_mis, n_slab = redistribute(p, cfg, axis_name,
+                                                 origin, cell)
+    rim_l, rim_r = exchange_rim(key_own, p2, axis_name, cfg.halo_rows,
+                                hops=cfg.halo_hops)
+    p_cols, grid, rim_short = build_cols(key_own, p2, rim_l, rim_r, cfg,
+                                         origin, cell, h_pad)
+    pressure = n_mis + n_slab + rim_short
+
+    if cfg.use_pallas:
+        from .ops.pallas_pairs import pallas_density, pallas_forces
+        itp = cfg.pallas_interpret
+        p2 = pallas_density(p_cols, cfg, grid, interpret=itp,
+                            rows=(p2, key_own))
+        p2 = eos_update(p2, cfg)
+        p_cols = attach_density(key_own, p2, p_cols, axis_name, cfg)
+        acc, du, dalpha = pallas_forces(p_cols, cfg, grid, interpret=itp,
+                                        rows=(p2, key_own))
+    else:
+        p2 = sorted_density(p_cols, cfg, grid, rows=(p2, key_own))
+        p2 = eos_update(p2, cfg)
+        p_cols = attach_density(key_own, p2, p_cols, axis_name, cfg)
+        acc, du, dalpha = sorted_forces(p_cols, cfg, grid,
+                                        rows=(p2, key_own))
+
+    grav_over = jnp.zeros((), jnp.int32)
+    if cfg.gravity == "direct":
+        acc = acc + gas_gravity_direct(p2, cfg, cols=_gather(p2, axis_name))
+    elif cfg.gravity in ("bh", "pm", "treepm"):
+        from .ops.pm_gravity import gas_gravity_pm_decomp
+        acc_pm, grav_over, rim_short_g = gas_gravity_pm_decomp(
+            p2, key_own, cell, cfg, axis_name, kern_k=kern_k)
+        acc = acc + acc_pm
+        pressure = pressure + rim_short_g
+
+    acc_gas_sink, acc_sink = sink_gravity(p2, s, axis_name=axis_name)
+    p2 = p2.replace(acc=acc + acc_gas_sink, du=du, dalpha=dalpha)
+    aux = DecompAux(grid=grid, cols=p_cols, key_rows=key_own,
+                    pressure=pressure.astype(jnp.int32))
+    return p2, s.replace(acc=acc_sink), (aux, grav_over)
+
+
 def kick(p: Particles, s: Sinks, dt):
     """Half-kick: v += a dt/2, u += du dt/2, alpha += dalpha dt/2
     (SUMMER_SPH.f90:742-759).
@@ -293,7 +368,7 @@ def drift(p: Particles, s: Sinks, dt):
 
 
 def _coverage_stats(cfg: SimConfig, grid, grav_over, n_unconverged,
-                    nonfinite, sink_full):
+                    nonfinite, sink_full, decomp_pressure=None):
     """int32[len(STATS_FIELDS)] health counters for this step."""
     zero = jnp.zeros((), jnp.int32)
     if grid is None:
@@ -309,7 +384,9 @@ def _coverage_stats(cfg: SimConfig, grid, grav_over, n_unconverged,
                       jnp.asarray(grav_over, jnp.int32),
                       jnp.asarray(n_unconverged, jnp.int32),
                       jnp.asarray(nonfinite, jnp.int32),
-                      jnp.asarray(sink_full, jnp.int32)])
+                      jnp.asarray(sink_full, jnp.int32),
+                      (zero if decomp_pressure is None
+                       else jnp.asarray(decomp_pressure, jnp.int32))])
 
 
 def _count_nonfinite(p: Particles):
@@ -357,26 +434,47 @@ def step(state: SimState, cfg: SimConfig,
     t = state.t + dt
     dt = next_timestep(p, dt, cfg, axis_name=axis_name)
 
+    # Slab decomposition threads its local grid/columns through the aux.
+    decomp_aux = None
+    if axis_name is not None and cfg.decomp == "slab" \
+            and cfg.neighbor_mode == "sorted":
+        decomp_aux, grid = grid, grid.grid
+
     n_unconverged = jnp.zeros((), jnp.int32)
     sink_full = jnp.zeros((), jnp.int32)
     if cfg.fixed_h is None:
-        cols = _gather(p, axis_name) if axis_name else None
-        p, n_unconverged = update_smoothing(p, cfg, cols=cols, grid=grid,
-                                            axis_name=axis_name)
+        if decomp_aux is not None:
+            p, n_unconverged = update_smoothing(
+                p, cfg, cols=decomp_aux.cols, grid=grid,
+                axis_name=axis_name, key_rows=decomp_aux.key_rows)
+        else:
+            cols = _gather(p, axis_name) if axis_name else None
+            p, n_unconverged = update_smoothing(p, cfg, cols=cols,
+                                                grid=grid,
+                                                axis_name=axis_name)
         s, sink_full = create_sinks(p, s, cfg, axis_name=axis_name)
 
     p, s = accrete(p, s, axis_name=axis_name)
     p, s = cull_bounds(p, s, cfg)
 
-    stats = _coverage_stats(cfg, grid, grav_over, n_unconverged,
-                            _count_nonfinite(p), sink_full)
+    stats = _coverage_stats(
+        cfg, grid, grav_over, n_unconverged, _count_nonfinite(p), sink_full,
+        decomp_pressure=None if decomp_aux is None else decomp_aux.pressure)
     if axis_name is not None:
-        # Window counters (slots 0-2) come from grids built on the
-        # replicated global particle set — identical on every device, so a
-        # psum would just multiply them by the device count (ADVICE r2);
-        # sink_full (5) is likewise replicated.  Only the per-shard
-        # h-iteration (3) and non-finite (4) counts need summing.
-        for i in (3, 4):
+        if decomp_aux is not None:
+            # Every counter is per-device under the slab decomposition
+            # (local grids, local gravity windows, local pressure events);
+            # sink_full (5) is replicated by create_sinks' collectives.
+            psum_slots = (0, 1, 2, 3, 4, 6)
+        else:
+            # Window counters (slots 0-2) come from grids built on the
+            # replicated global particle set — identical on every device,
+            # so a psum would just multiply them by the device count
+            # (ADVICE r2); sink_full (5) is likewise replicated.  Only the
+            # per-shard h-iteration (3) and non-finite (4) counts need
+            # summing.
+            psum_slots = (3, 4)
+        for i in psum_slots:
             stats = stats.at[i].set(jax.lax.psum(stats[i], axis_name))
 
     if p.capacity != cap0:  # drop the sort's dead pad slots

@@ -291,17 +291,25 @@ def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
     """(packed_rows, packed_cols, prog_starts, suboff, nsl, n_rows) for a
     kernel launch.
 
-    rows=None: rows are the whole sorted set.  rows=(p_rows, offset):
-    compute sums only for the `p_rows.capacity` sorted rows starting at
-    `offset` (traced) — this device's contiguous slice of the replicated
-    sorted order under sharding (parallel.sharded).
+    rows=None: rows are the whole sorted set.  rows=(p_rows, offset) with
+    a scalar offset: compute sums only for the `p_rows.capacity` sorted
+    rows starting at `offset` (traced) — this device's contiguous slice of
+    the replicated sorted order under sharding (parallel.sharded).
+    rows=(p_rows, key_rows) with a [n_rows] key array: rows are a separate
+    set from the columns and grid.starts/ends are already the ROW groups'
+    windows into the columns (parallel.decomp.build_cols).
     """
     packed_cols = _pack(p, grid.key, n_fields)
     prog, suboff, nsl, _ = window_plan(grid, cfg)
     prog = prog.reshape(-1)
     if rows is None:
         return packed_cols, packed_cols, prog, suboff, nsl, p.capacity
-    p_rows, offset = rows
+    p_rows, second = rows
+    if jnp.ndim(second) == 1:        # decomp: (p_rows, key_rows)
+        packed_rows = _pack(p_rows, second, n_fields)
+        return (packed_rows, packed_cols, prog, suboff, nsl,
+                p_rows.capacity)
+    offset = second
     n_rows = p_rows.capacity
     B, wg = cfg.sorted_block, cfg.window_group
     key_rows = jax.lax.dynamic_slice(grid.key, (offset,), (n_rows,))

@@ -180,7 +180,8 @@ def _fd4_gradient(phi, cell):
 
 
 def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
-                  axis_name: str | None = None, kern_k=None):
+                  axis_name: str | None = None, kern_k=None,
+                  decomp: bool = False):
     """Gaussian-filtered long-range gravitational acceleration (CIC-PM).
 
     Returns (acc [N,3], origin, cell, r_s) — r_s is the split scale the
@@ -204,6 +205,11 @@ def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
     alive3 = p.alive[:, None]
     lo = jnp.min(jnp.where(alive3, p.pos, inf), axis=0)
     hi = jnp.max(jnp.where(alive3, p.pos, -inf), axis=0)
+    if decomp:
+        # Slab decomposition: `p` is this device's slab only; the mesh box
+        # must still bound the GLOBAL live set (identical on every device).
+        lo = jax.lax.pmin(lo, axis_name)
+        hi = jax.lax.pmax(hi, axis_name)
     lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
     hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
     # Keep all particles in mesh cells [1, n-2]: the CIC halo then never
@@ -493,5 +499,63 @@ def gas_gravity_pm(p: Particles, cfg: SimConfig, rows=None,
     return acc_long + acc_short, n_over
 
 
+def gas_gravity_pm_decomp(p_own: Particles, key_own, cell_sph, cfg: SimConfig,
+                          axis_name: str, kern_k=None):
+    """PM + short-range self-gravity under the SFC slab decomposition.
+
+    Long range: deposit the local slab, psum the mesh (global mass), CIC
+    back at the local rows — exactly the replicated-mesh option of
+    VERDICT r2 item 5, with the box extents reduced over the axis.
+
+    Short range: the r_cut stencil reaches further than the SPH kernel,
+    so a wider rim (`cfg.grav_halo_rows` rows each side, in the same SPH
+    rank space — every spatial ball maps into a contiguous SPH-key and
+    hence rank interval) is exchanged, and `pm_short_range` runs on the
+    local [rim|own|rim] set exactly as it does single-chip (it re-sorts by
+    r_cut-sized keys internally); the own segment of its output is this
+    slab's exact short-range force, provided the rim covered the reach —
+    rows whose r_cut key interval outran a truncated rim are counted in
+    the returned rim_short (the caller folds it into decomp_pressure).
+
+    Returns (acc [nloc, 3], n_window_overflow, rim_short).
+    """
+    from ..parallel.decomp import KX, KY, exchange_rim, rim_short_count
+
+    acc_long, _, cell_pm, r_s = pm_long_range(p_own, cfg,
+                                              axis_name=axis_name,
+                                              kern_k=kern_k, decomp=True)
+
+    nloc = p_own.capacity
+    Hg = cfg.grav_halo_rows
+    rim_l, rim_r = exchange_rim(key_own, p_own, axis_name, Hg,
+                                fields=("pid", "pos", "mass", "h"),
+                                hops=cfg.halo_hops)
+
+    key_c = jnp.concatenate([rim_l["key"], key_own, rim_r["key"]])
+    pos_c = jnp.concatenate([rim_l["pos"], p_own.pos, rim_r["pos"]], axis=0)
+    mass_c = jnp.concatenate([rim_l["mass"], p_own.mass, rim_r["mass"]])
+    h_c = jnp.concatenate([rim_l["h"], p_own.h, rim_r["h"]])
+    alive_c = key_c != SENTINEL_KEY
+    pg = Particles.zeros(key_c.shape[0], p_own.pos.dtype).replace(
+        pos=pos_c, mass=mass_c, h=jnp.where(alive_c, h_c, 1.0),
+        alive=alive_c)
+
+    acc_all, n_over = pm_short_range(pg, cfg, r_s)
+    acc_short = acc_all[Hg:Hg + nloc]
+
+    # r_cut reach in SPH-key units: candidates within r_cut sit within
+    # ceil(r_cut / sph_cell) + 1 SPH cells per axis, i.e. a contiguous key
+    # (and rank) interval of that many planes/columns around the row.
+    r_cut = cfg.effective_rcut_rs() * r_s
+    c_cells = jnp.ceil(r_cut / jnp.maximum(cell_sph, 1.0e-12)
+                       ).astype(jnp.int32) + 1
+    reach = c_cells * (KX + KY + 1)
+    rim_short = rim_short_count(key_own, rim_l, rim_r,
+                                key_own - reach, key_own + reach)
+
+    acc = acc_long + jnp.where(p_own.alive[:, None], acc_short, 0.0)
+    return acc, n_over, rim_short
+
+
 __all__ = ["gas_gravity_pm", "pm_long_range", "pm_short_range",
-           "grav_tables", "green_kernel_k"]
+           "gas_gravity_pm_decomp", "grav_tables", "green_kernel_k"]

@@ -70,7 +70,7 @@ def _newton(h, rho, omega, m, eta):
 
 def update_smoothing(p: Particles, cfg: SimConfig,
                      cols: Particles | None = None, grid=None,
-                     axis_name: str | None = None):
+                     axis_name: str | None = None, key_rows=None):
     """Newton-iterate h on `p`.
 
     `grid` is the step's sorted-window structure (ops.sorted_grid) for the
@@ -78,17 +78,21 @@ def update_smoothing(p: Particles, cfg: SimConfig,
     with rho/omega freshly computed (force_eval guarantees both).  Under
     sharding (`axis_name` set) `p` is this device's contiguous slice of
     that order and `cols` (the tiled all_gather of the shards) is the full
-    sorted set the re-summations read their neighbours from.  Without a
-    grid, `cols` is the neighbour pool and a hashed grid is built here.
+    sorted set the re-summations read their neighbours from; with
+    `key_rows` (slab decomposition, parallel.decomp) `cols` is the local
+    rim-extended column set and the grid's windows are the row groups'.
+    Without a grid, `cols` is the neighbour pool and a hashed grid is
+    built here.
 
     Returns (particles, n_unconverged int32).
     """
     if grid is not None and cfg.neighbor_mode == "sorted":
         if cols is None:
             return _update_smoothing_shared(p, cfg, grid)
-        offset = jax.lax.axis_index(axis_name) * p.capacity
+        second = (key_rows if key_rows is not None
+                  else jax.lax.axis_index(axis_name) * p.capacity)
         return _update_smoothing_shared(p, cfg, grid, cols=cols,
-                                        offset=offset)
+                                        offset=second)
     if cfg.neighbor_mode == "sorted" and cols is None:
         return _update_smoothing_sorted(p, cfg)
     cols = cols if cols is not None else p

@@ -255,12 +255,23 @@ def _gi_valid(sb, blk, cap):
 
 def _rows_view(p: Particles, cfg: SimConfig, grid: SortedGrid, rows):
     """(p_rows, key_rows, starts_rows, n_rows): the row-side arrays for a
-    pair pass — the whole sorted set (rows=None) or this device's
-    contiguous (p_rows, offset) slice of it (parallel.sharded)."""
+    pair pass.  Three forms:
+
+    * rows=None — rows are the whole sorted set `p`;
+    * rows=(p_rows, offset) with a scalar offset — this device's
+      contiguous slice of the replicated sorted order (parallel.sharded:
+      grid covers all of `p`, slice the plan at offset);
+    * rows=(p_rows, key_rows) with a [n_rows] key array — the rows are a
+      separate set from the columns `p` and `grid.starts/ends` were built
+      for the ROW groups directly (parallel.decomp.build_cols).
+    """
     if rows is None:
         return p, grid.key, grid.starts, p.capacity
-    p_rows, offset = rows
+    p_rows, second = rows
     n_rows = p_rows.capacity
+    if jnp.ndim(second) == 1:        # decomp: (p_rows, key_rows)
+        return p_rows, second, grid.starts, n_rows
+    offset = second
     wg = cfg.window_group
     key_rows = jax.lax.dynamic_slice(grid.key, (offset,), (n_rows,))
     starts_rows = jax.lax.dynamic_slice_in_dim(

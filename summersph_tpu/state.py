@@ -195,9 +195,14 @@ class Sinks:
 # 55 segments of NaN without noticing — drivers must abort on this one);
 # `sink_slots_full` counts steps where an eligible sink creation found no
 # free slot (silent saturation froze the round-2 4096-particle collapse).
+# `decomp_pressure` (slab decomposition only, parallel.decomp) sums the
+# decomposition's fixed-capacity pressure events this step: migrants kept
+# home because a chunk filled, live rows dropped because a slab filled,
+# and own rows whose stencil outreached a truncated rim — all mean the
+# decomp knobs (migrate_rows / halo_rows / capacity headroom) need raising.
 STATS_FIELDS = ("sph_window_overflow", "sph_clamped",
                 "grav_window_overflow", "h_unconverged",
-                "nonfinite", "sink_slots_full")
+                "nonfinite", "sink_slots_full", "decomp_pressure")
 
 
 @struct.dataclass
