@@ -63,7 +63,15 @@ def build():
         pallas_window=256, pallas_fetch_window=2560,
         grav_pallas_window=512 if SMOKE else 896,
         grav_pallas_fetch=896 if SMOKE else 1280,
-        gamma=1.4, bounding_size=1500.0,
+        # gamma < 4/3: the standard collapse-to-sink EOS choice.  At the
+        # reference default 1.4 the cloud BOUNCES: adiabatic + AV shock
+        # heating beats gravity at rho_max ~ 0.065, 8x below the sink
+        # threshold m(eta/h)^3 > 0.5 (V:560) — measured N=65536 TPU run to
+        # t=12 > t_ff, zero sinks (scripts/collapse_diag.py).  gamma is a
+        # runtime parameter of the reference (parameters.txt, read at
+        # SUMMER_SPH.f90:899), so this is a configuration choice, not a
+        # physics deviation.
+        gamma=1.1, bounding_size=1500.0,
         sink_capacity=64,
         kahan_u=True,  # f64-quality u ledger over ~1e4 steps (f32 state)
         dt_init=1e-4, dt_min=1e-7, dt_max=5e-3,
