@@ -69,7 +69,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1048576)
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--configs", default="128:768:1152,256:384:640,256:256:512")
+    # per-mesh window sizes pre-picked from measured key-window extents
+    # (CPU analysis at N=1e6 ball: per-offset extent p99 = 512/261/203/184
+    # lanes at grid 128/192/256/320 — see docs/ROUND3.md)
+    ap.add_argument("--configs",
+                    default="256:256:640,192:384:768,320:256:640,128:896:1280")
     args = ap.parse_args()
     for spec in args.configs.split(","):
         grid, gw, gf = (int(v) for v in spec.split(":"))
