@@ -229,6 +229,33 @@ def test_decomp_pallas_interpret_matches_xla():
     np.testing.assert_allclose(v_a, v_b, rtol=2e-4, atol=1e-8)
 
 
+def test_decomp_kahan_u_rides_redistribution():
+    """cfg.kahan_u under decomp: the u_c carry rides the all_to_all /
+    sorts and the stepped state matches the single-device kahan run."""
+    from summersph_tpu.integrate import init_kahan, prime, run_steps
+    from summersph_tpu.parallel import (make_sharded_prime,
+                                        make_sharded_run_steps,
+                                        pad_state_to_devices, shard_state)
+
+    state, cfg = _disc_state(fixed_h=None, gravity="none")
+    cfg = cfg.with_(kahan_u=True)
+    padded = pad_state_to_devices(state, 4)
+
+    gcfg = cfg.with_(decomp="gather")
+    ref = run_steps(prime(padded, gcfg), gcfg, 2)
+
+    mesh = make_mesh(4)
+    st = shard_state(init_kahan(padded, cfg), mesh)
+    st = make_sharded_prime(cfg, mesh)(st)
+    out = make_sharded_run_steps(cfg, mesh, n_steps=2)(st)
+
+    assert out.particles.u_c is not None
+    pid_o, u_o = _by_pid(out.particles, out.particles.u)
+    pid_r, u_r = _by_pid(ref.particles, ref.particles.u)
+    np.testing.assert_array_equal(pid_o, pid_r)
+    np.testing.assert_allclose(u_o, u_r, rtol=1e-5)
+
+
 def _collective_bytes(hlo_text):
     """(all_gather_elems, permute_elems): summed output elements of
     all-gather / collective-permute ops in an optimized HLO dump."""
