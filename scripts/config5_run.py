@@ -72,7 +72,10 @@ def build():
         # SUMMER_SPH.f90:899), so this is a configuration choice, not a
         # physics deviation.
         gamma=1.1, bounding_size=1500.0,
-        sink_capacity=64,
+        # N=2048 formed 6 sinks; creation sites multiply with resolution
+        # (smaller h resolves more fragments), and saturation froze the
+        # round-2 4096 run — headroom is cheap ([S,N] sink gravity)
+        sink_capacity=128,
         kahan_u=True,  # f64-quality u ledger over ~1e4 steps (f32 state)
         dt_init=1e-4, dt_min=1e-7, dt_max=5e-3,
         end_time=T_END,
