@@ -45,7 +45,8 @@ from summersph_tpu.models.disc import disc_ic
 
 def build(n, dtype, use_pallas, grav_grid, dt_max, h_iter_max,
           sink_capacity, window_blocks=6, cell_h_quantile=0.9,
-          pallas_window=256, pallas_fetch_window=2560, gamma=1.4):
+          pallas_window=256, pallas_fetch_window=2560, gamma=1.4,
+          kahan_u=False):
     # Same cloud as config5_run.py: R=50 AU, M=50 Msun, rigid rotation at
     # beta ~ 0.15 (rim speed 4.2), u=0.25; h0 from mean spacing ~ N^(-1/3).
     h0 = 1.0 * (1_048_576 / n) ** (1.0 / 3.0)
@@ -72,7 +73,7 @@ def build(n, dtype, use_pallas, grav_grid, dt_max, h_iter_max,
         pallas_fetch_window=pallas_fetch_window,
         grav_pallas_window=512, grav_pallas_fetch=896,
         gamma=gamma, bounding_size=1500.0,
-        sink_capacity=sink_capacity,
+        sink_capacity=sink_capacity, kahan_u=kahan_u,
         dt_init=1e-4, dt_min=1e-7, dt_max=dt_max,
         dtype=dtype, end_time=12.0,
     )
@@ -128,6 +129,8 @@ def main():
     ap.add_argument("--pallas-window", type=int, default=256)
     ap.add_argument("--pallas-fetch", type=int, default=2560)
     ap.add_argument("--gamma", type=float, default=1.4)
+    ap.add_argument("--kahan", action="store_true",
+                    help="compensated u kicks (the config-5 f32 setting)")
     args = ap.parse_args()
 
     if args.dtype == "float64":
@@ -140,7 +143,7 @@ def main():
                        cell_h_quantile=args.cell_h_quantile,
                        pallas_window=args.pallas_window,
                        pallas_fetch_window=args.pallas_fetch,
-                       gamma=args.gamma)
+                       gamma=args.gamma, kahan_u=args.kahan)
     t0 = time.time()
     state = prime(state, cfg)
     report(state, "seg 0000", time.time() - t0)
