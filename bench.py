@@ -59,7 +59,7 @@ def validate_cache(budget_s=90.0):
                 pass
 
 
-def run_config(n, steps, gravity, use_pallas=True):
+def run_config(n, steps, gravity, use_pallas=True, grav_grid=None):
     """particle-steps/sec for one configuration."""
     import numpy as np
 
@@ -71,13 +71,19 @@ def run_config(n, steps, gravity, use_pallas=True):
     # h chosen so the kernel support holds ~60 neighbours at this N.
     h0 = 100.0 * (60.0 / n) ** (1.0 / 3.0) / 2.0
     # Short-range gravity window: r_cut-cell occupancy scales ~linearly
-    # with N at fixed mesh/box (rho * r_cut^3), so size the Pallas gravity
-    # windows by N (the in-step grav_window_overflow counter guards drops).
-    gw = 384 if n <= 262144 else (512 if n <= 524288 else 768)
+    # with N at fixed mesh/box (rho * r_cut^3) and cubically with mesh cell
+    # width, so size the Pallas gravity windows by N and mesh (the in-step
+    # grav_window_overflow counter guards drops).
+    grav_grid = grav_grid or int(os.environ.get("BENCH_PM_GRID", 128))
+    if grav_grid >= 256:
+        gw = 256 if n <= 524288 else 384
+    else:
+        gw = 384 if n <= 262144 else (512 if n <= 524288 else 768)
     cfg = SimConfig(
         fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
         use_pallas=use_pallas, sorted_block=128, window_group=32,
         pallas_window=256, pallas_fetch_window=768,
+        grav_grid=grav_grid,
         grav_pallas_window=gw, grav_pallas_fetch=gw + 384,
         window_blocks=3, grav_window_blocks=8,
         gamma=1.4, bounding_size=1500.0,
@@ -129,6 +135,12 @@ def main():
     validate_cache()
 
     import jax
+    # The ambient kernel env pins jax to the TPU tunnel via sitecustomize,
+    # so JAX_PLATFORMS in the environment is applied too late; honor an
+    # explicit setting through jax.config (lets the bench run on CPU when
+    # the tunnel is down — same dance as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     try:  # persistent compile cache (first compiles are minutes on the tunnel)
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
