@@ -113,12 +113,31 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None):
     return alive * steps / dt_wall
 
 
-def emit(metric, value, sweep):
+def probe_backend(timeout_s=180.0):
+    """True iff the default JAX backend answers a device query in time.
+
+    The tunneled TPU backend can hang `jax.devices()` indefinitely when the
+    tunnel is down (observed: >570 s with no error).  Probing in a child
+    process with a hard timeout lets the bench fall back to CPU and still
+    print a parseable, honestly-labelled artifact instead of an rc=124
+    blank (the round-2 failure mode)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def emit(metric, value, sweep, platform):
     print(json.dumps({
         "metric": metric,
         "value": value,
         "unit": "particle-steps/sec",
         "vs_baseline": value / 1e8,
+        "platform": platform,
         "sweep": sweep,
     }), flush=True)
 
@@ -141,6 +160,13 @@ def main():
     # the tunnel is down — same dance as tests/conftest.py).
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    elif not probe_backend():
+        # Tunnel down: a CPU number honestly labelled beats a blank artifact.
+        print("# backend probe timed out; falling back to CPU",
+              file=sys.stderr, flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        n = min(n, int(os.environ.get("BENCH_CPU_N", 65536)))
+        use_pallas = False
     try:  # persistent compile cache (first compiles are minutes on the tunnel)
         jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -150,8 +176,9 @@ def main():
     metric = (f"particle-steps/sec (Keplerian disc, N={n}, "
               f"gravity={gravity}, single chip)")
     value = run_config(n, steps, gravity, use_pallas)
+    platform = jax.devices()[0].platform
     sweep = {}
-    emit(metric, value, sweep)  # headline lands before any sweep work
+    emit(metric, value, sweep, platform)  # headline lands before sweep work
 
     if do_sweep:
         # Sweep entries are best-effort extra evidence; each re-checks the
@@ -167,7 +194,7 @@ def main():
                         sn, steps, sg, use_pallas)
                 except Exception as e:
                     sweep[f"N={sn},gravity={sg}"] = f"failed: {e}"
-            emit(metric, value, sweep)
+            emit(metric, value, sweep, platform)
 
 
 if __name__ == "__main__":
