@@ -146,12 +146,17 @@ def main():
                        gamma=args.gamma, kahan_u=args.kahan)
     t0 = time.time()
     state = prime(state, cfg)
+    float(np.asarray(state.t))
     report(state, "seg 0000", time.time() - t0)
     for i in range(1, args.max_seg + 1):
         if float(state.t) >= args.t_end or time.time() - t0 > args.max_wall:
             break
         t1 = time.time()
         state = run_steps(state, cfg, args.seg)
+        # run_steps returns async: force a sync (block_until_ready can
+        # return unsynced on the tunneled backend, docs/PERF_NOTES.md) so
+        # the reported wall is the segment's compute, not its dispatch.
+        float(np.asarray(state.t))
         n_alive, trip = report(state, f"seg {i:04d}", time.time() - t1)
         if n_alive == 0 or trip.get("nonfinite"):
             print("DIVERGED — stopping for inspection", flush=True)
