@@ -214,7 +214,7 @@ class SimState:
     sinks: Sinks
     t: jax.Array    # scalar simulation time
     dt: jax.Array   # scalar timestep
-    stats: jax.Array  # int32[4] — see STATS_FIELDS
+    stats: jax.Array  # int32[len(STATS_FIELDS)]
 
     @classmethod
     def create(cls, particles: Particles, sinks: Sinks, t=0.0, dt=1.0e-2) -> "SimState":
