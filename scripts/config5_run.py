@@ -61,8 +61,17 @@ def build():
         # thousands of candidates per group right when sink creation needs
         # exact density (pallas_pairs.window_plan)
         pallas_window=256, pallas_fetch_window=2560,
-        grav_pallas_window=512 if SMOKE else 896,
-        grav_pallas_fetch=896 if SMOKE else 1280,
+        # At the 256^3 mesh the per-offset gravity window extents are small
+        # (aligned p99 ~ 203 lanes, docs/ROUND3.md extent table), so W=256
+        # is the right compute granularity (the 896 default belongs to the
+        # 128^3 mesh).  The fetch is deep because it is the adaptive-slice
+        # ceiling: the pre-sink dense transient packs ~5e4 r_cut-ball
+        # candidates around the condensing core (measured shape of the
+        # N=4096 run, docs/results/collapse4k_f32/), and a deep fetch
+        # costs only DMA/VMEM where the core is NOT (ordinary groups stay
+        # at one slice).
+        grav_pallas_window=512 if SMOKE else 256,
+        grav_pallas_fetch=896 if SMOKE else 2560,
         # gamma < 4/3: the standard collapse-to-sink EOS choice.  At the
         # reference default 1.4 the cloud BOUNCES: adiabatic + AV shock
         # heating beats gravity at rho_max ~ 0.065, 8x below the sink
