@@ -71,7 +71,10 @@ def build(n, dtype, use_pallas, grav_grid, dt_max, h_iter_max,
         sorted_block=128, window_group=32, window_blocks=window_blocks,
         pallas_window=pallas_window,
         pallas_fetch_window=pallas_fetch_window,
-        grav_pallas_window=512, grav_pallas_fetch=896,
+        # fetch >> W so the adaptive slices (fetch//W per offset) can ride
+        # the pre-sink dense transient instead of dropping it (the fetch
+        # costs DMA/VMEM only; see docs/results/collapse4k_f32/)
+        grav_pallas_window=512, grav_pallas_fetch=2560,
         gamma=gamma, bounding_size=1500.0,
         sink_capacity=sink_capacity, kahan_u=kahan_u,
         dt_init=1e-4, dt_min=1e-7, dt_max=dt_max,

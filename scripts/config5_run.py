@@ -38,8 +38,12 @@ from summersph_tpu.integrate import (SimulationDiverged, check_health, prime,
 from summersph_tpu.io.checkpoint import load_npz_with_config, save_npz
 from summersph_tpu.models.disc import disc_ic
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "docs", "results", "collapse1m")
+# C5_OUT redirects all outputs (smokes must not pollute the committed
+# evidence directory, nor leave a tiny checkpoint a later evidence pass
+# would silently resume from).
+OUT = os.environ.get("C5_OUT") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "docs", "results", "collapse1m")
 N = int(os.environ.get("C5_N", 1_048_576))
 SMOKE = os.environ.get("C5_SMOKE", "0") == "1"  # tiny CPU shakedown
 T_END = 12.0  # ~1.4 free-fall times (t_ff = 8.8 yr at rho = 9.6e-5)
