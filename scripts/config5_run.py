@@ -89,6 +89,11 @@ def build():
         # (smaller h resolves more fragments), and saturation froze the
         # round-2 4096 run — headroom is cheap ([S,N] sink gravity)
         sink_capacity=128,
+        # The N=65536 gamma=1.1 shakedown saturated 64 slots by ~1.2 t_ff
+        # with distinct fragments; merging close sink pairs (the reference's
+        # *intended* check_sink_merger, an empty stub at V:1067-1073)
+        # recycles slots physically instead of suppressing creation.
+        sink_merge_factor=1.0,
         kahan_u=True,  # f64-quality u ledger over ~1e4 steps (f32 state)
         dt_init=1e-4, dt_min=1e-7, dt_max=5e-3,
         end_time=T_END,

@@ -67,6 +67,13 @@ class SimConfig:
     sink_capacity: int = 8              # fixed sink-slot count (creation fills slots)
     sink_create_density: float = 0.5    # creation threshold m(eta/h)^3 > 0.5, V:560
     sink_create_mass: float = 1.0e-11   # seed mass of a created sink, V:581
+    # Merge sinks closer than sink_merge_factor * min(radius_i, radius_j)
+    # (ops/sinks.merge_sinks).  0 disables — the literal reference
+    # behaviour: its `check_sink_merger` is an empty stub
+    # ("SUMMER_SPH - Variable.f90":1067-1073).  Enable (~1.0) for
+    # fragmenting collapses, where unmergeable sink pairs otherwise
+    # saturate `sink_capacity`.
+    sink_merge_factor: float = 0.0
 
     # --- gravity
     # 'none'   : no self-gravity (Sod tube / ring configs)

@@ -53,7 +53,7 @@ from .ops.eos import eos_update
 from .ops.forces import compute_sph_forces
 from .ops.gravity import gas_gravity_direct, sink_gravity
 from .ops.neighbors import build_grid
-from .ops.sinks import accrete, create_sinks, cull_bounds
+from .ops.sinks import accrete, create_sinks, cull_bounds, merge_sinks
 from .ops.smoothing import update_smoothing
 from .ops.timestep import next_timestep
 from .state import Particles, SimState, Sinks
@@ -455,6 +455,10 @@ def step(state: SimState, cfg: SimConfig,
         s, sink_full = create_sinks(p, s, cfg, axis_name=axis_name)
 
     p, s = accrete(p, s, axis_name=axis_name)
+    if cfg.sink_merge_factor > 0.0:
+        # Replicated [S, S] math — identical on every device, no collectives
+        # (ops/sinks.merge_sinks).
+        s, _ = merge_sinks(s, cfg)
     p, s = cull_bounds(p, s, cfg)
 
     stats = _coverage_stats(

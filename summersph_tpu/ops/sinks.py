@@ -176,6 +176,88 @@ def create_sinks(p: Particles, s: Sinks, cfg: SimConfig,
     return s, (has_any & ~has_slot).astype(jnp.int32)
 
 
+def merge_sinks(s: Sinks, cfg: SimConfig) -> Tuple[Sinks, jax.Array]:
+    """Merge sinks that have fallen inside each other's accretion radii.
+
+    The reference *intends* this — `check_sink_merger` exists as an empty
+    stub ("SUMMER_SPH - Variable.f90":1067-1073) — but never implements it,
+    so close sink pairs stay separate forever and a fragmenting collapse
+    saturates any fixed sink budget (measured: the gamma=1.1 N=65536 TPU
+    shakedown fills 64 slots by ~1.2 t_ff).  Enabled when
+    `cfg.sink_merge_factor > 0`: sinks i, j merge when their separation is
+    below `sink_merge_factor * min(radius_i, radius_j)`.
+
+    Conserving: the merged sink carries the combined mass, centre-of-mass
+    position/velocity, the larger accretion radius, and the total angular
+    momentum (spins + orbital L about the new COM folded into `spin`).
+
+    Deterministic one-pass resolution: every sink points at its
+    lowest-index eligible partner (or itself), and pointer-jumping
+    (log2 S fixed iterations) collapses chains onto component minima.  A
+    component with several *non-adjacent* local minima merges into one
+    cluster per minimum this step and coalesces fully on subsequent steps
+    (radii and positions update in between) — each pass is individually
+    conservative.  Sinks are replicated under sharding, so the same merge
+    happens identically on every device with no collectives.
+
+    Returns (sinks, n_merged) where n_merged counts absorbed sinks.
+    """
+    S = s.capacity
+    real = s.alive & (s.mass > 0.0)
+    d2 = jnp.zeros((S, S), s.pos.dtype)
+    for c in range(3):
+        d = s.pos[:, c][:, None] - s.pos[:, c][None, :]
+        d2 = d2 + d * d
+    idx = jnp.arange(S, dtype=jnp.int32)
+    rmin = jnp.minimum(s.radius[:, None], s.radius[None, :])
+    thresh = cfg.sink_merge_factor * rmin
+    pair = (real[:, None] & real[None, :]
+            & (d2 < thresh * thresh)
+            & (idx[:, None] != idx[None, :]))
+
+    partner_min = jnp.min(jnp.where(pair, idx[None, :], S), axis=1)
+    target = jnp.minimum(idx, partner_min).astype(jnp.int32)
+    for _ in range(max(1, S.bit_length())):
+        target = target[target]
+
+    absorbed = real & (target != idx)
+    # claim[r, j]: sink j (including j == r itself) contributes to root r
+    claim = real[None, :] & (idx[:, None] == target[None, :])
+    w = jnp.where(claim, s.mass[None, :], 0.0)            # [S, S]
+    msum = jnp.sum(w, axis=1)
+    xsum = jnp.einsum("rj,jc->rc", w, s.pos)
+    vsum = jnp.einsum("rj,jc->rc", w, s.vel)
+
+    merged = msum > 0.0
+    inv = jnp.where(merged, 1.0 / jnp.where(merged, msum, 1.0), 0.0)
+    com_pos = xsum * inv[:, None]
+    com_vel = vsum * inv[:, None]
+
+    # Total L about the new COM: spins + orbital terms of every member.
+    rel_x = s.pos[None, :, :] - com_pos[:, None, :]       # [S, S, 3]
+    rel_v = s.vel[None, :, :] - com_vel[:, None, :]
+    orb = jnp.cross(rel_x, rel_v)                         # [S, S, 3]
+    lsum = (jnp.einsum("rj,jc->rc", jnp.where(claim, 1.0, 0.0), s.spin)
+            + jnp.sum(w[:, :, None] * orb, axis=1))
+    rad = jnp.max(jnp.where(claim, s.radius[None, :], 0.0), axis=1)
+
+    # Roots take the merged fields; absorbed slots die (free for creation).
+    root = real & ~absorbed
+    upd = root & merged
+    s = s.replace(
+        alive=s.alive & ~absorbed,
+        mass=jnp.where(absorbed, 0.0, jnp.where(upd, msum, s.mass)),
+        pos=jnp.where(absorbed[:, None], PARK_POSITION,
+                      jnp.where(upd[:, None], com_pos, s.pos)),
+        vel=jnp.where(absorbed[:, None], 0.0,
+                      jnp.where(upd[:, None], com_vel, s.vel)),
+        spin=jnp.where(absorbed[:, None], 0.0,
+                       jnp.where(upd[:, None], lsum, s.spin)),
+        radius=jnp.where(absorbed, 0.0, jnp.where(upd, rad, s.radius)),
+    )
+    return s, jnp.sum(absorbed).astype(jnp.int32)
+
+
 def cull_bounds(p: Particles, s: Sinks, cfg: SimConfig) -> Tuple[Particles, Sinks]:
     """Mask out particles (and sinks, V:599-614) outside the bounding box."""
     keep_p = p.alive & jnp.all(jnp.abs(p.pos) <= cfg.bounding_size, axis=-1)
@@ -197,4 +279,4 @@ def cull_bounds(p: Particles, s: Sinks, cfg: SimConfig) -> Tuple[Particles, Sink
     return p, s
 
 
-__all__ = ["accrete", "create_sinks", "cull_bounds"]
+__all__ = ["accrete", "create_sinks", "merge_sinks", "cull_bounds"]

@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from summersph_tpu.config import SimConfig
-from summersph_tpu.ops.sinks import accrete, create_sinks, cull_bounds
+from summersph_tpu.ops.sinks import (accrete, create_sinks, cull_bounds,
+                                     merge_sinks)
 from summersph_tpu.state import Particles, Sinks
 
 
@@ -77,6 +78,61 @@ def test_sink_creation_threshold_and_exclusion():
     s4, full4 = create_sinks(p.replace(pos=p.pos + 500.0), s_full, cfg)
     assert int(s4.n_alive) == 1
     assert int(full4) == 1  # saturation is surfaced, not silent
+
+
+def _sink_totals(s):
+    m = np.asarray(jnp.where(s.alive, s.mass, 0.0))
+    pos, vel = np.asarray(s.pos), np.asarray(s.vel)
+    mom = (m[:, None] * vel).sum(0)
+    L = (m[:, None] * np.cross(pos, vel)
+         + np.asarray(jnp.where(s.alive[:, None], s.spin, 0.0))).sum(0)
+    return m.sum(), mom, L
+
+
+def test_sink_merger_conserves_mass_momentum_L():
+    # Two sinks inside each other's accretion radii (the case the
+    # reference's empty check_sink_merger stub, V:1067-1073, leaves
+    # unhandled) merge into one with combined mass, COM kinematics, and
+    # total L (spins + orbital) folded into spin.
+    cfg = SimConfig(sink_merge_factor=1.0)
+    s = Sinks.create(pos=[[0.0, 0, 0], [1.0, 0, 0], [40.0, 0, 0]],
+                     vel=[[0, 1.0, 0], [0, -1.0, 0], [0, 0.5, 0]],
+                     mass=[3.0, 1.0, 2.0], radius=[2.0, 2.0, 2.0],
+                     capacity=4)
+    m0, mom0, L0 = _sink_totals(s)
+    s2, n = merge_sinks(s, cfg)
+    assert int(n) == 1
+    assert int(s2.n_alive) == 2          # far sink untouched
+    m1, mom1, L1 = _sink_totals(s2)
+    np.testing.assert_allclose(m1, m0, rtol=1e-6)
+    np.testing.assert_allclose(mom1, mom0, atol=1e-6)
+    np.testing.assert_allclose(L1, L0, atol=1e-5)
+    # merged sink sits at the COM with the max radius
+    np.testing.assert_allclose(np.asarray(s2.pos)[0], [0.25, 0, 0],
+                               atol=1e-6)
+    assert float(s2.radius[0]) == pytest.approx(2.0)
+
+
+def test_sink_merger_chain_and_disable():
+    # A chain 0-1-2 (adjacent pairs in range, ends not) collapses onto the
+    # lowest index in one pass via pointer jumping.
+    cfg = SimConfig(sink_merge_factor=1.0)
+    s = Sinks.create(pos=[[0.0, 0, 0], [1.5, 0, 0], [3.0, 0, 0]],
+                     vel=np.zeros((3, 3)), mass=[1.0, 1.0, 1.0],
+                     radius=[2.0, 2.0, 2.0], capacity=4)
+    s2, n = merge_sinks(s, cfg)
+    assert int(n) == 2
+    assert int(s2.n_alive) == 1
+    assert float(s2.mass[0]) == pytest.approx(3.0)
+    # factor 0 (default) is the literal reference behaviour: no merging
+    s3, n3 = merge_sinks(s, SimConfig())
+    assert int(n3) == 0 and int(s3.n_alive) == 3
+    # absorbed slots are free again for sink creation
+    p = Particles.create(pos=[[50.0, 0, 0]], vel=[[0, 0, 0]], mass=[4.0],
+                         u=[1.0], h=[1.0])
+    s4, full = create_sinks(p, s2, SimConfig(fixed_h=None,
+                                             sink_merge_factor=1.0))
+    assert int(full) == 0 and int(s4.n_alive) == 2
 
 
 def test_bounds_culling():
