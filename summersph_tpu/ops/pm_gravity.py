@@ -85,6 +85,25 @@ def green_kernel_k(npad: int, grav_split_rs: float, dtype_str: str):
     import numpy as np
     from scipy.special import erf as np_erf
 
+    # Disk-memoized: the host build is O(npad^3) single-core numpy — measured
+    # 503 s at npad=512 on the 1-core build VM (erf + rfftn over 1.3e8 f64
+    # points).  Every process start (bench, resumable config-5 passes, mesh
+    # sweep) would re-pay it; a ~270 MB .npy loads in ~1 s.  Written
+    # atomically (tmp + rename) so a killed process never leaves a truncated
+    # table for a later run to load.
+    import os
+
+    cache_dir = os.environ.get("SUMMERSPH_GREEN_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".green_cache")
+    cache_path = os.path.join(
+        cache_dir, f"green_npad{npad}_rs{grav_split_rs:g}_{dtype_str}.npy")
+    if os.path.exists(cache_path):
+        try:
+            return jax.device_put(np.load(cache_path))
+        except Exception:
+            os.remove(cache_path)  # truncated/corrupt: rebuild below
+
     idx = np.arange(npad)
     d1 = np.where(idx <= npad // 2, idx, idx - npad).astype(np.float64)
     q_grid = np.sqrt(d1[:, None, None] ** 2 + d1[None, :, None] ** 2
@@ -108,6 +127,14 @@ def green_kernel_k(npad: int, grav_split_rs: float, dtype_str: str):
     rdtype = np.float64 if dtype_str == "float64" else np.float32
     host = (np.fft.rfftn(kq).real
             / np.maximum(w_cic * w_cic, 0.05)).astype(rdtype)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:  # np.save(path) would append .npy to .tmp
+            np.save(f, host)
+        os.replace(tmp, cache_path)
+    except Exception:
+        pass  # read-only fs: stay process-memoized only
     return jax.device_put(host)
 
 
