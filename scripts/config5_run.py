@@ -112,6 +112,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps-per-seg", type=int, default=64)
     ap.add_argument("--max-wall", type=float, default=5400.0)
+    # At N=1e6 the ~80 MB state pull through the axon tunnel costs a
+    # sizeable fraction of a segment's compute; checkpoint every Kth
+    # segment (plus on abort and at exit) instead of every one.
+    ap.add_argument("--ckpt-every", type=int, default=4)
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
 
@@ -119,12 +123,20 @@ def main():
     ckpt = os.path.join(OUT, "checkpoint.npz")
     ledger = os.path.join(OUT, "ledger.csv")
 
+    t_wall0 = time.time()
+
+    def mark(msg):
+        print(f"[{time.time() - t_wall0:7.1f}s] {msg}", flush=True)
+
     if os.path.exists(ckpt) and not args.fresh:
         state, cfg = load_npz_with_config(ckpt)
-        print(f"resumed t={float(state.t):.4f}", flush=True)
+        mark(f"resumed t={float(state.t):.4f}")
     else:
         state, cfg = build()
+        mark(f"ICs built (N={N}, grav_grid={cfg.grav_grid})")
         state = prime(state, cfg)
+        jax.block_until_ready(state.particles.pos)
+        mark("primed (first compile done)")
         for f in (ledger,):
             if os.path.exists(f):
                 os.remove(f)
@@ -135,6 +147,7 @@ def main():
 
     t_start = time.time()
     step_count = 0
+    seg_idx = 0
     with open(ledger, "a", newline="") as fh:
         w = csv.writer(fh)
         if new_ledger:
@@ -164,14 +177,17 @@ def main():
                   f"rho_max={float(d['rho_max']):.3e} wall={wall:.1f}s "
                   f"({args.steps_per_seg} steps)", flush=True)
             warn_stats(state)
-            save_npz(ckpt, state, cfg)
+            seg_idx += 1
+            if seg_idx % args.ckpt_every == 0:
+                save_npz(ckpt, state, cfg)
             try:
                 # Abort-and-keep-the-evidence on NaN / total particle death
                 # (VERDICT r2: 55 segments of dead state were logged
-                # unnoticed); the ledger row and checkpoint above already
+                # unnoticed); the ledger row and the checkpoint below
                 # capture the failing state.
                 check_health(state, where=f"after segment at t={row[0]}")
             except SimulationDiverged as e:
+                save_npz(ckpt, state, cfg)
                 print(f"ABORT: {e}", flush=True)
                 sys.exit(2)
 
