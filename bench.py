@@ -79,9 +79,15 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None):
         gw = 256 if n <= 524288 else 384
     else:
         gw = 384 if n <= 262144 else (512 if n <= 524288 else 768)
+    # window_group=64 measured 8.44e6 vs 7.71e6 p-steps/s at wg=32 on the
+    # N=1e6 gravity=none headline (scripts/window_sweep.py, r3 on-chip A/B:
+    # fewer per-group plans and DMA descriptors at the same overflow level).
+    # The gravity configs were sized/validated at wg=32, so keep them there.
+    wg_rows = int(os.environ.get(
+        "BENCH_WG", 64 if gravity == "none" else 32))
     cfg = SimConfig(
         fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
-        use_pallas=use_pallas, sorted_block=128, window_group=32,
+        use_pallas=use_pallas, sorted_block=128, window_group=wg_rows,
         pallas_window=256, pallas_fetch_window=768,
         grav_grid=grav_grid,
         grav_pallas_window=gw, grav_pallas_fetch=gw + 384,
