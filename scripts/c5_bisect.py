@@ -34,6 +34,7 @@ from summersph_tpu.integrate import prime, run_steps  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--segments", type=int, default=1)
     ap.add_argument("--grid", type=int, default=256)
     ap.add_argument("--sph-fetch", type=int, default=2560)
     ap.add_argument("--grav-window", type=int, default=256)
@@ -60,11 +61,13 @@ def main():
     state = prime(state, cfg)
     jax.block_until_ready(state.particles.pos)
     mark("primed OK")
-    state = run_steps(state, cfg, args.steps)
-    mark(f"segment dispatched; pulling t ...")
-    t = float(state.t)
-    mark(f"segment OK: t={t:.5f} dt={float(state.dt):.2e} "
-         f"n_alive={int(state.particles.n_alive)}")
+    for seg in range(args.segments):
+        state = run_steps(state, cfg, args.steps)
+        t = float(state.t)
+        mark(f"segment {seg + 1}/{args.segments} OK: t={t:.5f} "
+             f"dt={float(state.dt):.2e} "
+             f"n_alive={int(state.particles.n_alive)} "
+             f"stats={[int(v) for v in state.stats]}")
 
 
 if __name__ == "__main__":

@@ -58,24 +58,28 @@ def build():
         # N=65536 shakedown past t_ff (scripts/collapse_diag.py; round-2's
         # run died at t<0.15 with max_length=50 and h_max-sized cells)
         max_length=1.5 * h0, cell_h_quantile=0.9,
-        gravity="pm", grav_grid=32 if SMOKE else 256, theta=0.5,
+        # grav_grid=128: measured on chip (scripts/c5_profile.py,
+        # docs/ROUND3.md item 14) the 256^3 mesh's padded-512^3 XLA FFT
+        # costs 1.9 s/step — 4.6x more than its short-range lane saving —
+        # while the 128^3 bench config runs the same N at 0.43 s/step.
+        gravity="pm", grav_grid=32 if SMOKE else 128, theta=0.5,
         neighbor_mode="sorted", use_pallas=True, pallas_interpret=SMOKE,
         sorted_block=128, window_group=32,
         # deep fetch + 8-slice adaptive windows: the condensing core packs
         # thousands of candidates per group right when sink creation needs
         # exact density (pallas_pairs.window_plan)
         pallas_window=256, pallas_fetch_window=2560,
-        # At the 256^3 mesh the per-offset gravity window extents are small
-        # (aligned p99 ~ 203 lanes, docs/ROUND3.md extent table), so W=256
-        # is the right compute granularity (the 896 default belongs to the
-        # 128^3 mesh).  The fetch is deep because it is the adaptive-slice
-        # ceiling: the pre-sink dense transient packs ~5e4 r_cut-ball
-        # candidates around the condensing core (measured shape of the
-        # N=4096 run, docs/results/collapse4k_f32/), and a deep fetch
-        # costs only DMA/VMEM where the core is NOT (ordinary groups stay
-        # at one slice).
-        grav_pallas_window=512 if SMOKE else 256,
-        grav_pallas_fetch=896 if SMOKE else 2560,
+        # W=768 is the bench-validated short-range granularity for the
+        # 128^3 mesh at N=1e6 (bench.py run_config).  The fetch is deep
+        # because it is the adaptive-slice ceiling: the pre-sink dense
+        # transient packs ~5e4 r_cut-ball candidates around the condensing
+        # core (measured shape of the N=4096 run,
+        # docs/results/collapse4k_f32/), and a deep fetch costs only
+        # DMA/VMEM where the core is NOT (ordinary groups stay at one
+        # slice).
+        grav_pallas_window=512 if SMOKE else 768,
+        grav_pallas_fetch=896 if SMOKE else 2688,
+        window_blocks=3, grav_window_blocks=8,
         # gamma < 4/3: the standard collapse-to-sink EOS choice.  At the
         # reference default 1.4 the cloud BOUNCES: adiabatic + AV shock
         # heating beats gravity at rho_max ~ 0.065, 8x below the sink
@@ -110,12 +114,17 @@ def build():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps-per-seg", type=int, default=64)
+    # 16 steps/segment: the axon TPU worker kills any single XLA
+    # execution over ~55-110 s (docs/ROUND3.md item 13 — the round's
+    # three config5 crashes were 64-step ~112 s segments).  At the
+    # measured 0.43-0.7 s/step this keeps each segment execution ~10 s
+    # with 4x headroom for the late-stage condensed-core slowdown.
+    ap.add_argument("--steps-per-seg", type=int, default=16)
     ap.add_argument("--max-wall", type=float, default=5400.0)
     # At N=1e6 the ~80 MB state pull through the axon tunnel costs a
     # sizeable fraction of a segment's compute; checkpoint every Kth
     # segment (plus on abort and at exit) instead of every one.
-    ap.add_argument("--ckpt-every", type=int, default=4)
+    ap.add_argument("--ckpt-every", type=int, default=8)
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
 
@@ -154,6 +163,8 @@ def main():
             w.writerow(cols)
         while float(state.t) < T_END and time.time() - t_start < args.max_wall:
             t0 = time.time()
+            print(f"[seg {seg_idx}] dispatch t={float(state.t):.4f}",
+                  flush=True)
             state = run_steps(state, cfg, args.steps_per_seg)
             d = measure(state)
             wall = time.time() - t0
