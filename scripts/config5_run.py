@@ -126,6 +126,14 @@ def main():
     # segment (plus on abort and at exit) instead of every one.
     ap.add_argument("--ckpt-every", type=int, default=8)
     ap.add_argument("--fresh", action="store_true")
+    # Resume-time config overrides: the checkpoint carries its config, but
+    # the late dense phase wants different knobs than the early uniform one
+    # (deeper short-range fetch once the core condenses; shorter segments
+    # once steps slow toward the ~55 s per-execution worker deadline).
+    ap.add_argument("--grav-fetch", type=int, default=0,
+                    help="override grav_pallas_fetch on resume (128-mult)")
+    ap.add_argument("--sph-fetch", type=int, default=0,
+                    help="override pallas_fetch_window on resume (128-mult)")
     args = ap.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
@@ -139,7 +147,15 @@ def main():
 
     if os.path.exists(ckpt) and not args.fresh:
         state, cfg = load_npz_with_config(ckpt)
-        mark(f"resumed t={float(state.t):.4f}")
+        over = {}
+        if args.grav_fetch:
+            over["grav_pallas_fetch"] = args.grav_fetch
+        if args.sph_fetch:
+            over["pallas_fetch_window"] = args.sph_fetch
+        if over:
+            cfg = cfg.with_(**over)
+        mark(f"resumed t={float(state.t):.4f}"
+             + (f" overrides={over}" if over else ""))
     else:
         state, cfg = build()
         mark(f"ICs built (N={N}, grav_grid={cfg.grav_grid})")
