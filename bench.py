@@ -85,6 +85,9 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None):
     # The gravity configs were sized/validated at wg=32, so keep them there.
     wg_rows = int(os.environ.get(
         "BENCH_WG", 64 if gravity == "none" else 32))
+    # Far-field subcycling (SimConfig.pm_every): recompute the mesh FFT
+    # every k-th step, hold it in between.  1 = literal reference behaviour.
+    pm_every = int(os.environ.get("BENCH_PM_EVERY", 1))
     cfg = SimConfig(
         fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
         use_pallas=use_pallas, sorted_block=128, window_group=wg_rows,
@@ -94,6 +97,7 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None):
         window_blocks=3, grav_window_blocks=8,
         gamma=1.4, bounding_size=1500.0,
         dt_init=1e-4, dt_min=1e-5, dt_max=1e-3,
+        pm_every=pm_every if gravity != "none" else 1,
     )
     state, _ = disc_ic(n=n, r_max=100.0, m_star=5.0, h0=h0,
                        rotation="keplerian", cfg=cfg, seed=0)

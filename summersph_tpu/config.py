@@ -106,6 +106,16 @@ class SimConfig:
     # finite differences (2 big FFTs/solve); 'spectral' = exact F(k) = -ik phi
     # (4 big FFTs/solve, ~2x slower, slightly tighter mid-k accuracy)
     grav_gradient: str = "fd"
+    # Recompute the PM long-range (mesh FFT) force every k-th step and HOLD
+    # it in between (RESPA / Gadget-style far-field subcycling; the
+    # short-range pair complement stays per-step).  The far field varies on
+    # the dynamical time ~1/sqrt(G rho), 1e2-1e4 Courant steps, so small k
+    # costs force error O(k * dt * |dv|/|v|) while removing the dominant
+    # FFT from (k-1)/k of the steps (measured 1.9 s of a 1.75 s step at
+    # grav_grid=256, N=1e6 — docs/ROUND3.md item 14).  1 = literal
+    # reference behaviour (gravity every step, SUMMER_SPH.f90:818-829).
+    # Requires neighbor_mode='sorted' without slab decomposition.
+    pm_every: int = 1
 
     # --- neighbour search
     # 'sorted' : SFC-sorted window engine (production path, ops.sorted_grid)

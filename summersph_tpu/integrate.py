@@ -83,14 +83,21 @@ def _check_pallas_cfg(cfg: SimConfig):
 
 
 def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
-               axis_name: str | None = None, kern_k=None):
+               axis_name: str | None = None, kern_k=None, pm=None):
     """density -> EOS -> (gravity + sink gravity + SPH) accelerations.
 
     Matches the reference's find_forces grouping (SUMMER_SPH.f90:818-829).
     Returns (particles with rho/P/cs/acc/du/dalpha filled, sinks with acc,
-    aux) where aux = (grid, grav_overflow): the sorted-window grid for reuse
-    by the h-iteration (None on the grid/dense paths) and the short-range
-    gravity window overflow counter (int32 0 when exact/absent).
+    aux) where aux = (grid, grav_overflow, pm_r_s): the sorted-window grid
+    for reuse by the h-iteration (None on the grid/dense paths), the
+    short-range gravity window overflow counter (int32 0 when
+    exact/absent), and — with cfg.pm_every > 1 — the PM split scale the
+    (possibly held) long-range force was built with, for the caller to
+    carry in SimState.pm_r_s (None otherwise).
+
+    `pm` = (pm_phase int32, r_s_held scalar) drives the far-field
+    subcycling (SimConfig.pm_every; ops.pm_gravity.gas_gravity_pm_held);
+    None with pm_every > 1 means "recompute now".
 
     Note: on the sorted path the returned particles are in sorted order and
     may be *padded* beyond the caller's capacity — `step` slices back.
@@ -103,14 +110,20 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
     12 MB f32), so replicated-columns + sharded-rows rides ICI once per
     pair pass and scales compute by the device count (SURVEY.md §2.3).
     """
+    if cfg.pm_every > 1 and (cfg.neighbor_mode != "sorted"
+                             or (axis_name is not None
+                                 and cfg.decomp == "slab")):
+        raise ValueError(
+            "cfg.pm_every > 1 (held long-range PM force) is implemented "
+            "for neighbor_mode='sorted' without slab decomposition")
     if cfg.neighbor_mode == "sorted":
         if axis_name is None:
-            return _force_eval_sorted(p, s, cfg, kern_k=kern_k)
+            return _force_eval_sorted(p, s, cfg, kern_k=kern_k, pm=pm)
         if cfg.decomp == "slab":
             return _force_eval_sorted_decomp(p, s, cfg, axis_name,
                                              kern_k=kern_k)
         return _force_eval_sorted_sharded(p, s, cfg, axis_name,
-                                          kern_k=kern_k)
+                                          kern_k=kern_k, pm=pm)
 
     cols0 = _gather(p, axis_name) if axis_name else None
     grid = (build_grid(cols0 if cols0 is not None else p, cfg)
@@ -143,10 +156,19 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
 
     p = p.replace(acc=acc, du=du, dalpha=dalpha)
     s = s.replace(acc=acc_sink)
-    return p, s, (None, grav_over)
+    return p, s, (None, grav_over, None)
 
 
-def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig, kern_k=None):
+def _pm_phase_args(pm, dtype):
+    """Normalize force_eval's `pm` input: None = recompute now (phase 0,
+    no valid held scale)."""
+    if pm is not None:
+        return pm
+    return jnp.zeros((), jnp.int32), jnp.zeros((), dtype)
+
+
+def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig, kern_k=None,
+                       pm=None):
     """force_eval on the SFC-sorted window engine (ops.sorted_grid).
 
     Sorting permutes the particle arrays (identity tracked by `pid`); the
@@ -177,20 +199,27 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig, kern_k=None):
         acc, du, dalpha = sorted_forces(p2, cfg, sgrid)
 
     grav_over = jnp.zeros((), jnp.int32)
+    pm_r_s = None
     if cfg.gravity == "direct":
         acc = acc + gas_gravity_direct(p2, cfg)
     elif cfg.gravity in ("bh", "pm", "treepm"):
-        from .ops.pm_gravity import gas_gravity_pm
-        acc_pm, grav_over = gas_gravity_pm(p2, cfg, kern_k=kern_k)
+        from .ops.pm_gravity import gas_gravity_pm, gas_gravity_pm_held
+        if cfg.pm_every > 1:
+            phase, r_s_held = _pm_phase_args(pm, p2.pos.dtype)
+            acc_pm, grav_over, acc_long, pm_r_s = gas_gravity_pm_held(
+                p2, cfg, phase, r_s_held, kern_k=kern_k)
+            p2 = p2.replace(acc_ext=acc_long)
+        else:
+            acc_pm, grav_over = gas_gravity_pm(p2, cfg, kern_k=kern_k)
         acc = acc + acc_pm
 
     acc_gas_sink, acc_sink = sink_gravity(p2, s)
     p2 = p2.replace(acc=acc + acc_gas_sink, du=du, dalpha=dalpha)
-    return p2, s.replace(acc=acc_sink), (sgrid, grav_over)
+    return p2, s.replace(acc=acc_sink), (sgrid, grav_over, pm_r_s)
 
 
 def _force_eval_sorted_sharded(p: Particles, s: Sinks, cfg: SimConfig,
-                               axis_name: str, kern_k=None):
+                               axis_name: str, kern_k=None, pm=None):
     """The sorted/Pallas production engine under shard_map.
 
     SPMD layout (the TPU translation of the reference's OpenMP-parallel hot
@@ -245,18 +274,26 @@ def _force_eval_sorted_sharded(p: Particles, s: Sinks, cfg: SimConfig,
         acc, du, dalpha = sorted_forces(pf2, cfg, grid, rows=(p_rows, off))
 
     grav_over = jnp.zeros((), jnp.int32)
+    pm_r_s = None
     if cfg.gravity == "direct":
         acc = acc + gas_gravity_direct(p_rows, cfg, cols=pf2)
     elif cfg.gravity in ("bh", "pm", "treepm"):
-        from .ops.pm_gravity import gas_gravity_pm
-        acc_pm, grav_over = gas_gravity_pm(pf2, cfg, rows=(p_rows, off),
-                                           axis_name=axis_name,
-                                           kern_k=kern_k)
+        from .ops.pm_gravity import gas_gravity_pm, gas_gravity_pm_held
+        if cfg.pm_every > 1:
+            phase, r_s_held = _pm_phase_args(pm, p_rows.pos.dtype)
+            acc_pm, grav_over, acc_long, pm_r_s = gas_gravity_pm_held(
+                pf2, cfg, phase, r_s_held, rows=(p_rows, off),
+                axis_name=axis_name, kern_k=kern_k)
+            p_rows = p_rows.replace(acc_ext=acc_long)
+        else:
+            acc_pm, grav_over = gas_gravity_pm(pf2, cfg, rows=(p_rows, off),
+                                               axis_name=axis_name,
+                                               kern_k=kern_k)
         acc = acc + acc_pm
 
     acc_gas_sink, acc_sink = sink_gravity(p_rows, s, axis_name=axis_name)
     p_rows = p_rows.replace(acc=acc + acc_gas_sink, du=du, dalpha=dalpha)
-    return p_rows, s.replace(acc=acc_sink), (grid, grav_over)
+    return p_rows, s.replace(acc=acc_sink), (grid, grav_over, pm_r_s)
 
 
 def _force_eval_sorted_decomp(p: Particles, s: Sinks, cfg: SimConfig,
@@ -328,7 +365,7 @@ def _force_eval_sorted_decomp(p: Particles, s: Sinks, cfg: SimConfig,
     p2 = p2.replace(acc=acc + acc_gas_sink, du=du, dalpha=dalpha)
     aux = DecompAux(grid=grid, cols=p_cols, key_rows=key_own,
                     pressure=pressure.astype(jnp.int32))
-    return p2, s.replace(acc=acc_sink), (aux, grav_over)
+    return p2, s.replace(acc=acc_sink), (aux, grav_over, None)
 
 
 def kick(p: Particles, s: Sinks, dt):
@@ -402,12 +439,18 @@ def _count_nonfinite(p: Particles):
 
 
 def step(state: SimState, cfg: SimConfig,
-         axis_name: str | None = None, kern_k=None) -> SimState:
+         axis_name: str | None = None, kern_k=None,
+         pm_phase=None) -> SimState:
     """One full KDK step with all per-step physics. Jittable, shape-static.
 
     Requires primed rates when `cfg.reuse_forces` (see `prime`): the first
     half-kick consumes the acc/du/dalpha carried from the previous step's
     evaluation.
+
+    `pm_phase` (cfg.pm_every > 1 only): this step's position in the
+    far-field subcycle — 0 recomputes the PM long-range force, nonzero
+    reuses the held one (run_steps supplies arange(n) % pm_every; a bare
+    step() call recomputes).
 
     With `axis_name` (inside shard_map) the same code runs data-parallel:
     particle arrays are device shards, sinks/t/dt replicated; global
@@ -416,19 +459,25 @@ def step(state: SimState, cfg: SimConfig,
     """
     p, s, dt = state.particles, state.sinks, state.dt
     cap0 = p.capacity
+    pm = None
+    if cfg.pm_every > 1 and pm_phase is not None \
+            and state.pm_r_s is not None:
+        pm = (pm_phase, state.pm_r_s)
 
     if cfg.reuse_forces:
         p, s = kick(p, s, dt)       # carried rates: F at x_n (see prime)
         p, s = drift(p, s, dt)
-        p, s, (grid, grav_over) = force_eval(p, s, cfg, axis_name, kern_k)
+        p, s, (grid, grav_over, pm_r_s) = force_eval(
+            p, s, cfg, axis_name, kern_k, pm=pm)
         p, s = kick(p, s, dt)
     else:
         # Literal reference schedule: evaluate at x_n too
         # (SUMMER_SPH.f90:895-900).
-        p, s, _ = force_eval(p, s, cfg, axis_name, kern_k)
+        p, s, _ = force_eval(p, s, cfg, axis_name, kern_k, pm=pm)
         p, s = kick(p, s, dt)
         p, s = drift(p, s, dt)
-        p, s, (grid, grav_over) = force_eval(p, s, cfg, axis_name, kern_k)
+        p, s, (grid, grav_over, pm_r_s) = force_eval(
+            p, s, cfg, axis_name, kern_k, pm=pm)
         p, s = kick(p, s, dt)
 
     t = state.t + dt
@@ -483,7 +532,10 @@ def step(state: SimState, cfg: SimConfig,
 
     if p.capacity != cap0:  # drop the sort's dead pad slots
         p = jax.tree_util.tree_map(lambda a: a[:cap0], p)
-    return state.replace(particles=p, sinks=s, t=t, dt=dt, stats=stats)
+    out = state.replace(particles=p, sinks=s, t=t, dt=dt, stats=stats)
+    if pm_r_s is not None:  # carry the held PM split scale (cfg.pm_every)
+        out = out.replace(pm_r_s=pm_r_s)
+    return out
 
 
 def _tables(state: SimState, cfg: SimConfig):
@@ -506,21 +558,37 @@ def prime(state: SimState, cfg: SimConfig) -> SimState:
     carry their rates.  On the sorted path the particle order is permuted
     (identity in pid), as everywhere else in the engine.
     """
-    state = init_kahan(state, cfg)
+    state = init_carries(state, cfg)
     return _prime_jit(state, _tables(state, cfg), cfg)
 
 
-def init_kahan(state: SimState, cfg: SimConfig) -> SimState:
-    """Attach (cfg.kahan_u) or drop the optional u_c Kahan-carry field so the
-    state's pytree structure matches the config.  `prime` calls this; sharded
-    drivers must call it before `shard_state` (parallel.sharded.state_specs
-    builds its specs from cfg.kahan_u)."""
+def init_carries(state: SimState, cfg: SimConfig) -> SimState:
+    """Attach or drop the optional carried fields so the state's pytree
+    structure matches the config: the u_c Kahan carry (cfg.kahan_u) and the
+    held PM long-range force acc_ext + split scale pm_r_s (cfg.pm_every >
+    1; pm_r_s starts <= 0 = "no valid held force", so the first step
+    recomputes).  `prime` and `run_steps` call this; sharded drivers must
+    call it before `shard_state` (parallel.sharded.state_specs builds its
+    specs from the config).  Idempotent."""
     p = state.particles
     if cfg.kahan_u and p.u_c is None:
-        return state.replace(particles=p.replace(u_c=jnp.zeros_like(p.u)))
+        p = p.replace(u_c=jnp.zeros_like(p.u))
     if not cfg.kahan_u and p.u_c is not None:
-        return state.replace(particles=p.replace(u_c=None))
-    return state
+        p = p.replace(u_c=None)
+    pm_on = cfg.pm_every > 1 and cfg.gravity in ("bh", "pm", "treepm")
+    pm_r_s = state.pm_r_s
+    if pm_on and p.acc_ext is None:
+        p = p.replace(acc_ext=jnp.zeros_like(p.pos))
+    if pm_on and pm_r_s is None:
+        pm_r_s = jnp.zeros((), p.pos.dtype)
+    if not pm_on and (p.acc_ext is not None or pm_r_s is not None):
+        p = p.replace(acc_ext=None)
+        pm_r_s = None
+    return state.replace(particles=p, pm_r_s=pm_r_s)
+
+
+# Backwards-compatible alias (pre-pm_every name).
+init_kahan = init_carries
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -541,19 +609,25 @@ def run_steps(state: SimState, cfg: SimConfig, n_steps: int) -> SimState:
     The returned state's `stats` carries the *maximum* per-step coverage
     counters over the segment, so a single bad step cannot hide.
     """
+    state = init_carries(state, cfg)
     return _run_steps_jit(state, _tables(state, cfg), cfg, n_steps)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def _run_steps_jit(state: SimState, kern_k, cfg: SimConfig,
                    n_steps: int) -> SimState:
-    def body(st, _):
-        out = step(st, cfg, kern_k=kern_k)
+    def body(st, phase):
+        out = step(st, cfg, kern_k=kern_k, pm_phase=phase)
         out = out.replace(stats=jnp.maximum(out.stats, st.stats))
         return out, None
 
+    # Far-field subcycle phase (cfg.pm_every; constant 0s when off).  The
+    # phase is pinned to the segment, not carried across them: the first
+    # step of every segment recomputes — one extra FFT per segment, and a
+    # resumed checkpoint never starts from a stale held force.
+    phases = jnp.arange(n_steps, dtype=jnp.int32) % max(cfg.pm_every, 1)
     state = state.replace(stats=jnp.zeros_like(state.stats))
-    return jax.lax.scan(body, state, None, length=n_steps)[0]
+    return jax.lax.scan(body, state, phases)[0]
 
 
 def check_coverage(state: SimState, cfg: SimConfig, warn: bool = True) -> int:
@@ -710,5 +784,6 @@ def simulate(
 
 
 __all__ = ["force_eval", "kick", "drift", "step", "prime", "init_kahan",
+           "init_carries",
            "run_until", "run_steps", "simulate", "check_coverage",
            "warn_stats", "check_health", "SimulationDiverged"]

@@ -36,6 +36,8 @@ def save_npz(path, state: SimState, cfg: Optional[SimConfig] = None) -> None:
     flat["t"] = np.asarray(state.t)
     flat["dt"] = np.asarray(state.dt)
     flat["stats"] = np.asarray(state.stats)
+    if state.pm_r_s is not None:  # held PM split scale (cfg.pm_every > 1)
+        flat["pm_r_s"] = np.asarray(state.pm_r_s)
     if cfg is not None:
         flat["config_json"] = np.frombuffer(
             json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8)
@@ -71,6 +73,7 @@ def load_npz_with_config(path) -> Tuple[SimState, Optional[SimConfig]]:
         t=jnp.asarray(data["t"]),
         dt=jnp.asarray(data["dt"]),
         stats=stats,
+        pm_r_s=jnp.asarray(data["pm_r_s"]) if "pm_r_s" in data else None,
     )
     cfg = None
     if "config_json" in data:

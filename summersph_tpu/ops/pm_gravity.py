@@ -526,6 +526,46 @@ def gas_gravity_pm(p: Particles, cfg: SimConfig, rows=None,
     return acc_long + acc_short, n_over
 
 
+def gas_gravity_pm_held(p: Particles, cfg: SimConfig, pm_phase, r_s_held,
+                        rows=None, axis_name: str | None = None, kern_k=None):
+    """PM self-gravity with the long-range force recomputed every
+    cfg.pm_every-th step and HELD in between (RESPA-style far-field
+    subcycling; see SimConfig.pm_every).
+
+    The mesh FFT runs under a lax.cond: on recompute steps
+    (pm_phase == 0, or no valid held force: r_s_held <= 0) the fresh
+    long-range acceleration and its split scale replace the carried ones;
+    on held steps only the short-range pair complement is evaluated — at
+    the HELD r_s, because the complement must match the split the held
+    far field was built with.  The per-particle held force lives in
+    p.acc_ext (rides the SFC sort), the split scale in SimState.pm_r_s.
+
+    Returns (acc, n_window_overflow, acc_long, r_s) — the caller stores
+    acc_long/r_s back into the carried state.
+    """
+    p_dep = p if rows is None else rows[0]
+    if p_dep.acc_ext is None:
+        raise ValueError(
+            "gas_gravity_pm_held needs particles.acc_ext (call "
+            "integrate.init_carries / prime with cfg.pm_every > 1 first)")
+    dtype = p.pos.dtype
+    recompute = (pm_phase == 0) | (r_s_held <= 0.0)
+
+    def fresh(_):
+        acc_long, _, _, r_s = pm_long_range(p, cfg, rows=rows,
+                                            axis_name=axis_name,
+                                            kern_k=kern_k)
+        return acc_long, jnp.asarray(r_s, dtype)
+
+    def held(_):
+        return p_dep.acc_ext, jnp.asarray(r_s_held, dtype)
+
+    acc_long, r_s = jax.lax.cond(recompute, fresh, held, None)
+    acc_short, n_over = pm_short_range(p, cfg, r_s, rows=rows,
+                                       axis_name=axis_name)
+    return acc_long + acc_short, n_over, acc_long, r_s
+
+
 def gas_gravity_pm_decomp(p_own: Particles, key_own, cell_sph, cfg: SimConfig,
                           axis_name: str, kern_k=None):
     """PM + short-range self-gravity under the SFC slab decomposition.

@@ -156,6 +156,8 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
         base = Particles.zeros(padded, p.pos.dtype)
         if p.u_c is not None:  # match the optional-carry pytree structure
             base = base.replace(u_c=jnp.zeros((padded,), p.pos.dtype))
+        if p.acc_ext is not None:
+            base = base.replace(acc_ext=jnp.zeros((padded, 3), p.pos.dtype))
         p = jax.tree_util.tree_map(
             lambda full, part: full.at[:cap].set(part), base, p)
         cap = padded
@@ -201,16 +203,20 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
     operands += [p.vel[:, k] for k in range(3)]
     operands += [getattr(p, f) for f in sort_fields]
     operands += [p.pid]
+    if p.acc_ext is not None:  # held PM force rides the sort (cfg.pm_every)
+        operands += [p.acc_ext[:, k] for k in range(3)]
     out = jax.lax.sort(operands, num_keys=1, is_stable=False)
     key_s = out[0]
     pos = jnp.stack(out[1:4], axis=-1)
     vel = jnp.stack(out[4:7], axis=-1)
     rest = dict(zip(sort_fields, out[7:7 + len(sort_fields)]))
     pid = out[7 + len(sort_fields)]
+    acc_ext = (jnp.stack(out[8 + len(sort_fields):11 + len(sort_fields)],
+                         axis=-1) if p.acc_ext is not None else None)
     zero = jnp.zeros_like(key_s, p.pos.dtype)
     p_s = p.replace(pos=pos, vel=vel, acc=jnp.zeros_like(pos),
                     alive=key_s != SENTINEL_KEY, pid=pid,
-                    omega=jnp.ones_like(zero),
+                    omega=jnp.ones_like(zero), acc_ext=acc_ext,
                     **rest, **{f: zero for f in _ZERO_FIELDS})
 
     # Group stencil windows.

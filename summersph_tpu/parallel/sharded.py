@@ -44,18 +44,23 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(devices[:n], (axis,))
 
 
-def state_specs(axis: str = "dp", kahan_u: bool = False) -> SimState:
+def state_specs(axis: str = "dp", kahan_u: bool = False,
+                pm_held: bool = False) -> SimState:
     """PartitionSpec pytree for SimState: particles sharded on rows,
-    sinks/t/dt replicated.  `kahan_u` must match whether the state carries
-    the optional u_c field (pytree structures must agree)."""
+    sinks/t/dt replicated.  `kahan_u` / `pm_held` must match whether the
+    state carries the optional u_c / acc_ext+pm_r_s fields (pytree
+    structures must agree; integrate.init_carries attaches them)."""
     def fill(cls, spec, skip=()):
         return cls(**{f: spec for f in cls.__dataclass_fields__
                       if f not in skip})
     skip = () if kahan_u else ("u_c",)
+    if not pm_held:
+        skip = skip + ("acc_ext",)
     return SimState(
         particles=fill(Particles, P(axis), skip=skip),
         sinks=fill(Sinks, P()),
         t=P(), dt=P(), stats=P(),
+        pm_r_s=P() if pm_held else None,
     )
 
 
@@ -72,6 +77,9 @@ def pad_state_to_devices(state: SimState, n_devices: int,
     padded = Particles.zeros(cap + rem, old.pos.dtype)
     if old.u_c is not None:  # match the optional-carry pytree structure
         padded = padded.replace(u_c=jnp.zeros((cap + rem,), old.pos.dtype))
+    if old.acc_ext is not None:
+        padded = padded.replace(
+            acc_ext=jnp.zeros((cap + rem, 3), old.pos.dtype))
     merged = jax.tree_util.tree_map(
         lambda full, part: full.at[:cap].set(part), padded, old)
     return state.replace(particles=merged)
@@ -81,7 +89,8 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = "dp") -> SimState:
     """Place the state on the mesh with the canonical shardings."""
     shardings = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec),
-        state_specs(axis, kahan_u=state.particles.u_c is not None),
+        state_specs(axis, kahan_u=state.particles.u_c is not None,
+                    pm_held=state.particles.acc_ext is not None),
         is_leaf=lambda x: isinstance(x, P))
     return jax.device_put(state, shardings)
 
@@ -111,7 +120,9 @@ def _make_sharded(body2, cfg: SimConfig, mesh: Mesh, axis: str):
     pathology of baking it)."""
     from ..ops.pm_gravity import grav_tables
 
-    specs = state_specs(axis, kahan_u=cfg.kahan_u)
+    specs = state_specs(
+        axis, kahan_u=cfg.kahan_u,
+        pm_held=cfg.pm_every > 1 and cfg.gravity in ("bh", "pm", "treepm"))
     kern_k = grav_tables(cfg)
     if kern_k is None:
         fn = jax.jit(_shard_map(lambda st: body2(st, None),
@@ -152,10 +163,13 @@ def make_sharded_run_steps(cfg: SimConfig, mesh: Mesh, axis: str = "dp",
     pattern as integrate.run_until).
     """
     def body(state: SimState, kern_k):
+        # Far-field subcycle phase, as in integrate._run_steps_jit.
+        phases = jnp.arange(n_steps, dtype=jnp.int32) % max(cfg.pm_every, 1)
         return jax.lax.scan(
-            lambda st, _: (step(st, cfg, axis_name=axis, kern_k=kern_k),
-                           None),
-            state, None, length=n_steps)[0]
+            lambda st, ph: (step(st, cfg, axis_name=axis, kern_k=kern_k,
+                                 pm_phase=ph),
+                            None),
+            state, phases)[0]
 
     return _make_sharded(body, cfg, mesh, axis)
 

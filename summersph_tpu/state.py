@@ -63,6 +63,14 @@ class Particles:
     # the carry recovers ~f64-quality accumulation for one extra sort
     # operand.  Enable with cfg.kahan_u (integrate.kick).
     u_c: Optional[jax.Array] = None
+    # Optional held long-range PM acceleration [N, 3] (cfg.pm_every > 1):
+    # the far-field force varies on the dynamical time, not the Courant
+    # time, so it is recomputed every pm_every-th step and HELD in between
+    # (RESPA / Gadget-style long-range subcycling — the short-range pair
+    # complement stays per-step).  Rides the SFC sort like u_c (three
+    # extra sort operands); None = literal per-step reference behaviour
+    # (SUMMER_SPH.f90:818-829 evaluates gravity every step).
+    acc_ext: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
@@ -215,6 +223,12 @@ class SimState:
     t: jax.Array    # scalar simulation time
     dt: jax.Array   # scalar timestep
     stats: jax.Array  # int32[len(STATS_FIELDS)]
+    # Optional held PM split scale (cfg.pm_every > 1): the short-range pair
+    # complement must use the SAME r_s the held long-range force was built
+    # with, or the force split double-counts the band between the two
+    # scales.  <= 0 means "no valid held force" (freshly initialised /
+    # resumed) and forces a recompute.  None when pm_every == 1.
+    pm_r_s: Optional[jax.Array] = None
 
     @classmethod
     def create(cls, particles: Particles, sinks: Sinks, t=0.0, dt=1.0e-2) -> "SimState":
