@@ -59,7 +59,8 @@ def validate_cache(budget_s=90.0):
                 pass
 
 
-def run_config(n, steps, gravity, use_pallas=True, grav_grid=None):
+def run_config(n, steps, gravity, use_pallas=True, grav_grid=None,
+               pm_every=None):
     """particle-steps/sec for one configuration."""
     import numpy as np
 
@@ -87,7 +88,8 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None):
         "BENCH_WG", 64 if gravity == "none" else 32))
     # Far-field subcycling (SimConfig.pm_every): recompute the mesh FFT
     # every k-th step, hold it in between.  1 = literal reference behaviour.
-    pm_every = int(os.environ.get("BENCH_PM_EVERY", 1))
+    if pm_every is None:
+        pm_every = int(os.environ.get("BENCH_PM_EVERY", 1))
     cfg = SimConfig(
         fixed_h=h0, gravity=gravity, neighbor_mode="sorted",
         use_pallas=use_pallas, sorted_block=128, window_group=wg_rows,
@@ -193,17 +195,23 @@ def main():
     if do_sweep:
         # Sweep entries are best-effort extra evidence; each re-checks the
         # wall budget first (a cold compile costs minutes on the tunnel).
-        for sn, sg in ((n, "pm"), (131072, "none")):
+        # (n, gravity, pm_every): pm_every=1 is the literal per-step
+        # reference schedule; pm_every=4 is the RESPA far-field subcycle
+        # (SimConfig.pm_every — drift-bounded by tests/test_pm_every.py).
+        for sn, sg, spe in ((n, "pm", 1), (n, "pm", 4),
+                            (131072, "none", 1)):
             if (sn, sg) == (n, gravity):
                 continue
+            label = (f"N={sn},gravity={sg}" if spe == 1
+                     else f"N={sn},gravity={sg},pm_every={spe}")
             if time.perf_counter() - t_start > budget:
-                sweep[f"N={sn},gravity={sg}"] = "skipped: wall budget"
+                sweep[label] = "skipped: wall budget"
             else:
                 try:
-                    sweep[f"N={sn},gravity={sg}"] = run_config(
-                        sn, steps, sg, use_pallas)
+                    sweep[label] = run_config(
+                        sn, steps, sg, use_pallas, pm_every=spe)
                 except Exception as e:
-                    sweep[f"N={sn},gravity={sg}"] = f"failed: {e}"
+                    sweep[label] = f"failed: {e}"
             emit(metric, value, sweep, platform)
 
 

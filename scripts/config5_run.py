@@ -182,6 +182,9 @@ def main():
             print(f"[seg {seg_idx}] dispatch t={float(state.t):.4f}",
                   flush=True)
             state = run_steps(state, cfg, args.steps_per_seg)
+            # run_steps dispatches asynchronously; sync before reading the
+            # clock or the ledger logs wall=0.0 for every segment.
+            jax.block_until_ready(state.particles.pos)
             d = measure(state)
             wall = time.time() - t0
             step_count += args.steps_per_seg
