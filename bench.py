@@ -179,11 +179,12 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         n = min(n, int(os.environ.get("BENCH_CPU_N", 65536)))
         use_pallas = False
-    try:  # persistent compile cache (first compiles are minutes on the tunnel)
-        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # Persistent compile cache (first compiles are minutes on the tunnel).
+    # Routed through enable_compile_cache so a CPU fallback gets its
+    # host-fingerprinted subdirectory — stale CPU entries from a different
+    # VM SIGILL when loaded (utils/cache._host_cpu_tag).
+    from summersph_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(CACHE_DIR)
 
     metric = (f"particle-steps/sec (Keplerian disc, N={n}, "
               f"gravity={gravity}, single chip)")
