@@ -77,7 +77,16 @@ def main():
         (256, 1024, 3, 32),   # default W, deeper fetch headroom
         (128, 768, 3, 16),    # narrower groups: tighter spans, more DMAs
         (256, 768, 3, 64),    # wider groups: fewer DMAs, fatter windows
+        # r3b: wg=64 won at W=256 (8.44e6); the W=128 ladder was only
+        # measured at wg=16/32, where per-slice overhead dominated.  Wider
+        # groups amortize that overhead — base lanes drop 9x256 -> 9x128.
+        (128, 768, 3, 64),    # half-granularity x wide groups
+        (128, 768, 3, 128),   # half-granularity x whole-block groups
+        (256, 768, 3, 128),   # whole-block groups at default W
     ]
+    if os.environ.get("SWEEP_ROWS"):
+        keep = {int(i) for i in os.environ["SWEEP_ROWS"].split(",")}
+        matrix = [m for i, m in enumerate(matrix) if i in keep]
     t0 = time.time()
     for W, WB, wb, wg in matrix:
         if time.time() - t0 > args.max_wall:
