@@ -106,6 +106,18 @@ class SimConfig:
     # finite differences (2 big FFTs/solve); 'spectral' = exact F(k) = -ik phi
     # (4 big FFTs/solve, ~2x slower, slightly tighter mid-k accuracy)
     grav_gradient: str = "fd"
+    # Short-range overflow fallback: a compacted worklist of the candidate
+    # slices the static windows could not cover (a condensing core can put
+    # ~rho r_cut^3 >> 8 * W particles in one stencil cell — no static window
+    # bound survives arbitrary clustering).  Each item is one
+    # (group, offset, 512-lane slice) of residual candidates, evaluated in
+    # a scan-chunked XLA pass and added to the window sums; the
+    # grav_window_overflow stats slot then counts only what exceeds THIS
+    # budget too.  0 disables (literal static-window behaviour).  Audit of
+    # the 1e6 collapse at 1.22 t_ff: the static plan dropped 54% of true
+    # short-range pairs (median 19% of |a_grav| per affected row) —
+    # scripts/c5_window_audit.py.
+    grav_overflow_items: int = 0
     # Recompute the PM long-range (mesh FFT) force every k-th step and HOLD
     # it in between (RESPA / Gadget-style far-field subcycling; the
     # short-range pair complement stays per-step).  The far field varies on

@@ -44,7 +44,7 @@ theta=0.5 monopole walk (~1% typical).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -320,6 +320,120 @@ def _short_factor(r, h_i, r_s):
     return grav_softening(r, h_i) - s
 
 
+def _overflow_pass(cfg: SimConfig, key_s, xs, ys, zs, ms, hs,
+                   starts, ends, coverage, g0, Gl, B, r_s, r_cut):
+    """Compacted-worklist fallback for short-range candidates beyond the
+    static window coverage (SimConfig.grav_overflow_items).
+
+    A static two-level window plan cannot bound a condensing core: one
+    r_cut stencil cell can hold ~rho r_cut^3 >> 8 * W particles
+    (scripts/c5_window_audit.py measured 54% of true pairs dropped at the
+    1e6 collapse's 1.22 t_ff state).  This pass turns the residual ranges
+    [coverage, ends) of this device's groups into a flat worklist of
+    (group, offset, 512-lane slice) items — fixed capacity K so the jitted
+    shape is static — and evaluates them in a scan of small XLA pair
+    blocks.  Item slices start at `coverage` (128-aligned by
+    construction), so they never double-count the window pass; the per-row
+    key-range mask makes membership exact, as in the main kernels.
+
+    Returns ((ax, ay, az) [Gl*B] to add to the window sums, residual
+    candidate count beyond the item budget — the new meaning of the
+    grav_window_overflow stats slot when the fallback is on).
+    """
+    K = int(cfg.grav_overflow_items)
+    WF = 512  # lanes per item (4 x 128 blocks)
+    dtype = xs.dtype
+    cap = key_s.shape[0]
+    R = cap // LANES
+    offs9 = jnp.asarray(PLANE_OFFSETS, jnp.int32)
+
+    sl = partial(jax.lax.dynamic_slice_in_dim, start_index=g0, slice_size=Gl)
+    ends_l = sl(ends)
+    cov_l = jnp.minimum(sl(coverage), ends_l)  # never start past the range
+    cov_l = jnp.maximum(cov_l, sl(starts))
+    res = jnp.maximum(ends_l - cov_l, 0)                     # [Gl, 9]
+    need = -((-res) // WF)                                   # ceil div
+    cum = jnp.cumsum(need.reshape(-1))                       # [Gl*9]
+    total = cum[-1]
+
+    item = jnp.arange(K, dtype=jnp.int32)
+    owner = jnp.searchsorted(cum, item, side="right").astype(jnp.int32)
+    owner_c = jnp.minimum(owner, Gl * 9 - 1)
+    prev = jnp.where(owner_c > 0, cum[jnp.maximum(owner_c - 1, 0)], 0)
+    k_in = item - prev
+    valid_it = item < total
+    g_it = owner_c // 9                                      # local group
+    o_it = owner_c % 9
+    start_it = cov_l.reshape(-1)[owner_c] + k_in * WF        # 128-aligned
+
+    # Residual beyond the item budget (exact: items are allocated in
+    # ascending (group, offset) order, each covering <= WF lanes).
+    covered_by = jnp.sum(jnp.where(
+        valid_it, jnp.clip(res.reshape(-1)[owner_c] - k_in * WF, 0, WF), 0))
+    n_resid = (jnp.sum(res) - covered_by).astype(jnp.int32)
+
+    # Per-item row data: group g's B rows of this device's slice.
+    row_base = (g0 + g_it) * B
+    x2, y2, z2 = (a.reshape(R, LANES) for a in (xs, ys, zs))
+    m2 = ms.reshape(R, LANES)
+    k2 = key_s.reshape(R, LANES)
+    kg = key_s.reshape(cap // B, B)
+
+    C = max(min(64, K), 1)  # items per scan block
+    S = K // C
+    assert S * C == K, "grav_overflow_items must be a multiple of 64"
+    blk = jnp.arange(WF // LANES, dtype=jnp.int32)[None, :]  # [1, 4]
+    lane = jnp.arange(LANES, dtype=jnp.int32)
+
+    def body(carry, it):
+        g_c, o_c, st_c, rb_c, v_c = it
+        # rows [C, B]
+        gi_r = rb_c[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :]
+        xi = xs[gi_r][:, :, None]
+        yi = ys[gi_r][:, :, None]
+        zi = zs[gi_r][:, :, None]
+        hi = hs[gi_r][:, :, None]
+        ki = key_s[gi_r][:, :, None]
+        # columns [C, WF] via 128-block row gather
+        sb = st_c[:, None] // LANES + blk                    # [C, 4]
+        rows_ok = (sb >= 0) & (sb < R)
+        sbc = jnp.clip(sb, 0, R - 1)
+        cx = x2[sbc].reshape(-1, WF)[:, None, :]
+        cy = y2[sbc].reshape(-1, WF)[:, None, :]
+        cz = z2[sbc].reshape(-1, WF)[:, None, :]
+        cm = m2[sbc].reshape(-1, WF)[:, None, :]
+        kj = k2[sbc].reshape(-1, WF)[:, None, :]
+        gi_c = (sbc[:, :, None] * LANES + lane[None, None, :]).reshape(
+            -1, WF)[:, None, :]
+        lim = jnp.take(ends.reshape(-1),
+                       (g0 + g_c) * 9 + o_c)[:, None, None]
+        okc = (jnp.repeat(rows_ok, LANES, axis=1)[:, None, :]
+               & (gi_c < lim) & v_c[:, None, None])
+        off_k = offs9[o_c][:, None, None]
+        mask = okc & (kj >= ki + off_k - 1) & (kj <= ki + off_k + 1)
+
+        dxx = xi - cx
+        dxy = yi - cy
+        dxz = zi - cz
+        r2 = dxx * dxx + dxy * dxy + dxz * dxz
+        r = jnp.sqrt(r2)
+        vv = mask & (r > 0.0) & (r < r_cut)
+        gshort = _short_factor(r, hi, r_s)
+        inv_r3 = jnp.where(vv, 1.0 / jnp.where(vv, r2 * r, 1.0), 0.0)
+        coef = -G * jnp.where(vv, cm, 0.0) * gshort * inv_r3
+        part = jnp.stack([jnp.sum(coef * dxx, -1), jnp.sum(coef * dxy, -1),
+                          jnp.sum(coef * dxz, -1)], axis=-1)  # [C, B, 3]
+        return carry.at[g_c].add(part), None
+
+    acc_g = jnp.zeros((Gl, B, 3), dtype)
+    its = (g_it.reshape(S, C), o_it.reshape(S, C), start_it.reshape(S, C),
+           row_base.reshape(S, C), valid_it.reshape(S, C))
+    acc_g = jax.lax.scan(body, acc_g, its)[0]
+    del kg
+    a = acc_g.reshape(Gl * B, 3)
+    return (a[:, 0], a[:, 1], a[:, 2]), n_resid
+
+
 def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
                    axis_name: str | None = None):
     """Direct complementary pair force within r_cut, via gravity-sized
@@ -448,6 +562,7 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
         axf, ayf, azf = pallas_grav_short_sums(
             packed_rows, packed, prog_l, sub_l, nsl_l, cfg,
             interpret=cfg.pallas_interpret)
+        coverage = covered
     else:
         Gl = nloc // B
         xi = loc(xs).reshape(Gl, B, 1)
@@ -488,6 +603,23 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
                 ay = ay + jnp.sum(coef * dxy, axis=-1)
                 az = az + jnp.sum(coef * dxz, axis=-1)
         axf, ayf, azf = ax.reshape(nloc), ay.reshape(nloc), az.reshape(nloc)
+        coverage = reach
+
+    if cfg.grav_overflow_items > 0:
+        if cfg.grav_overflow_items % 64:
+            raise ValueError("grav_overflow_items must be a multiple of 64")
+        (dax, day, daz), n_resid = _overflow_pass(
+            cfg, key_s, xs, ys, zs, ms, hs, starts, ends, coverage,
+            off_g // B, nloc // B, B, r_s, r_cut)
+        axf = axf + dax
+        ayf = ayf + day
+        azf = azf + daz
+        # With the fallback on, the overflow slot counts only what exceeds
+        # the item budget too.  Residuals are per-device (each covers its
+        # own groups), so merge them here — the stats path treats this
+        # counter as replicated (integrate._coverage_stats).
+        n_over = (jax.lax.psum(n_resid, axis_name)
+                  if axis_name is not None else n_resid)
 
     # Un-permute to the caller's order: scatter each sorted row's force to
     # its source slot (dead pad rows carry src == -1, dropped).
