@@ -114,6 +114,22 @@ def summary(led, out_md, ckpt=None):
         f"- |Lz| drift: {dlz:.2e} relative",
         f"- dt range: [{led['dt'].min():.2e}, {led['dt'].max():.2e}] yr",
         "",
+        "## Known accuracy limitation (self-audited)",
+        "",
+        "In the fragmenting phase (t > ~10.6, rho_max near the sink "
+        "threshold) the static short-range gravity windows saturate on the "
+        "condensed cores: scripts/c5_window_audit.py on the final "
+        "checkpoint measures **54% of true within-r_cut pairs dropped** "
+        "(median 19%, p90 65% of |a_grav| per affected row).  The "
+        "sub-mesh-cell gravity in overdense regions is therefore "
+        "under-resolved — effectively extra softening at the PM cell "
+        "scale (0.36 AU), which delays fragmentation/accretion but leaves "
+        "the mesh-scale dynamics, conservation ledgers, and the "
+        "collapse-to-sinks capability intact.  Fixed for future runs by "
+        "the overflow fallback pass (SimConfig.grav_overflow_items, "
+        "exactness-tested) plus deeper windows (W=1024/fetch=8448: 1.3% "
+        "residual at 2.3x pair lanes); this run predates that fix.",
+        "",
         "Produced by scripts/config5_run.py (gamma=1.1, see its docstring "
         "for the EOS-choice justification) and scripts/config5_report.py.",
     ]

@@ -77,8 +77,16 @@ def build():
         # docs/results/collapse4k_f32/), and a deep fetch costs only
         # DMA/VMEM where the core is NOT (ordinary groups stay at one
         # slice).
-        grav_pallas_window=512 if SMOKE else 768,
-        grav_pallas_fetch=896 if SMOKE else 2688,
+        # r3 session-C audit (scripts/c5_window_audit.py): at the 1.22 t_ff
+        # fragmenting state the W=768/fetch=2688 plan dropped 54% of true
+        # short-range pairs (fetch caps slices at 3, not the packing's 8).
+        # W=1024/fetch=8448 leaves 1.3% residual at 2.3x pair lanes, and
+        # the overflow worklist (grav_overflow_items, exactness-tested vs
+        # deep windows) covers that tail — short-range gravity stays exact
+        # through the condensed-core phase.
+        grav_pallas_window=512 if SMOKE else 1024,
+        grav_pallas_fetch=896 if SMOKE else 8448,
+        grav_overflow_items=0 if SMOKE else 65536,
         window_blocks=3, grav_window_blocks=8,
         # gamma < 4/3: the standard collapse-to-sink EOS choice.  At the
         # reference default 1.4 the cloud BOUNCES: adiabatic + AV shock
@@ -132,6 +140,10 @@ def main():
     # once steps slow toward the ~55 s per-execution worker deadline).
     ap.add_argument("--grav-fetch", type=int, default=0,
                     help="override grav_pallas_fetch on resume (128-mult)")
+    ap.add_argument("--grav-window", type=int, default=0,
+                    help="override grav_pallas_window on resume (128-mult)")
+    ap.add_argument("--overflow-items", type=int, default=-1,
+                    help="override grav_overflow_items on resume (64-mult)")
     ap.add_argument("--sph-fetch", type=int, default=0,
                     help="override pallas_fetch_window on resume (128-mult)")
     args = ap.parse_args()
@@ -150,6 +162,10 @@ def main():
         over = {}
         if args.grav_fetch:
             over["grav_pallas_fetch"] = args.grav_fetch
+        if args.grav_window:
+            over["grav_pallas_window"] = args.grav_window
+        if args.overflow_items >= 0:
+            over["grav_overflow_items"] = args.overflow_items
         if args.sph_fetch:
             over["pallas_fetch_window"] = args.sph_fetch
         if over:
