@@ -106,6 +106,15 @@ class SimConfig:
     # finite differences (2 big FFTs/solve); 'spectral' = exact F(k) = -ik phi
     # (4 big FFTs/solve, ~2x slower, slightly tighter mid-k accuracy)
     grav_gradient: str = "fd"
+    # Poisson-solve transform backend.  'matmul' (default) evaluates the
+    # padded 3-D DFT as pruned per-axis MXU matmuls (ops.mm_dft): XLA's TPU
+    # FFT costs 1.9 s at the 512^3-padded 256^3 mesh (127x the 256^3-padded
+    # cost for 8x the volume — scripts/c5_profile.py) while the matmul form
+    # runs at MXU speed and skips the zero-padded half of the input and the
+    # uncropped part of the output.  'xla' = jnp.fft rfftn/irfftn (the
+    # round-1..3 path; requires grav_gradient='fd' only for parity of the
+    # wraparound ghost reads).  'matmul' implies grav_gradient='fd'.
+    grav_fft: str = "matmul"
     # Short-range overflow fallback: a compacted worklist of the candidate
     # slices the static windows could not cover (a condensing core can put
     # ~rho r_cut^3 >> 8 * W particles in one stencil cell — no static window

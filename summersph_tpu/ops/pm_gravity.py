@@ -142,12 +142,22 @@ def grav_tables(cfg: SimConfig, dtype=None):
     """The runtime gravity table bundle for `cfg` (None when gravity needs
     none).  Host-level helper: call OUTSIDE jit and pass the result down as
     the `kern_k` argument of prime/run_steps/step/force_eval — the integrate
-    wrappers do this automatically."""
+    wrappers do this automatically.
+
+    With cfg.grav_fft == 'matmul' the bundle is a dict pytree: the Green's
+    table under 'kern_k' plus the pruned-DFT matrices (ops.mm_dft) — all
+    runtime arguments for the same reason the Green's table is one."""
     if cfg.gravity not in ("bh", "pm", "treepm"):
         return None
     name = (dtype if isinstance(dtype, str)
             else jnp.dtype(dtype or cfg.np_dtype()).name)
-    return green_kernel_k(2 * cfg.grav_grid, cfg.grav_split_rs, name)
+    kern = green_kernel_k(2 * cfg.grav_grid, cfg.grav_split_rs, name)
+    if cfg.grav_fft != "matmul":
+        return kern
+    from .mm_dft import dft_tables
+    tabs = dict(dft_tables(cfg.grav_grid, 2 * cfg.grav_grid, name))
+    tabs["kern_k"] = kern
+    return tabs
 
 
 def _cic_deposit(pos, mass, origin, cell, n):
@@ -252,9 +262,6 @@ def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
     if axis_name is not None:
         rho = jax.lax.psum(rho, axis_name)
 
-    rho_pad = jnp.zeros((npad, npad, npad), rho.dtype).at[:n, :n, :n].set(rho)
-    rho_k = jnp.fft.rfftn(rho_pad)
-
     # Isolated (vacuum) boundaries, Hockney-Eastwood style: see
     # green_kernel_k.  The table is scale-free in cell units (the box
     # rescales every step as the particles move; K_k never does), so the
@@ -267,32 +274,64 @@ def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
                 f"it as a trace constant makes XLA compiles pathological")
         kern_k = green_kernel_k(npad, cfg.grav_split_rs,
                                 jnp.dtype(p.pos.dtype).name)
+        if cfg.grav_fft == "matmul":
+            from .mm_dft import dft_tables
+            tabs = dict(dft_tables(n, npad, jnp.dtype(p.pos.dtype).name))
+            tabs["kern_k"] = kern_k
+            kern_k = tabs
 
-    # Dimensions restored at runtime: kern = K/cell, DFT->integral volume
-    # factor cell^3 => phi_k = rho_k * K_k * cell^2.
-    phi_k = rho_k * kern_k * (cell * cell)
-
-    if cfg.grav_gradient == "fd":
-        # One inverse FFT + cheap stencils; the Gaussian split suppresses
-        # the mid-k band where the FD operator attenuates, keeping the total
-        # force error in the same few-tenths-of-a-percent class
-        # (tests/test_gravity.py measures it against the direct oracle).
-        phi = jnp.fft.irfftn(phi_k, s=(npad, npad, npad))
-        gx, gy, gz = _fd4_gradient(phi, cell)
+    if cfg.grav_fft == "matmul":
+        # Pruned DFT as MXU matmuls (ops.mm_dft): never materialises the
+        # zero-padded input or the uncropped inverse, and does not hit
+        # XLA's pathological large-FFT lowering (1.9 s at 512^3).
+        from .mm_dft import (fd4_gradient_pruned, irfft3_pruned,
+                             rfft3_pruned)
+        if cfg.grav_gradient != "fd":
+            raise ValueError("grav_fft='matmul' implements the 'fd' "
+                             "gradient only (set grav_gradient='fd' or "
+                             "grav_fft='xla')")
+        if not isinstance(kern_k, dict):
+            raise ValueError(
+                "grav_fft='matmul' needs the grav_tables(cfg) dict bundle "
+                "(Green's table + DFT matrices); got a bare array — the "
+                "tables were built for a different grav_fft setting")
+        re, im = rfft3_pruned(rho, kern_k)
+        # Dimensions restored at runtime: kern = K/cell, DFT->integral
+        # volume factor cell^3 => phi_k = rho_k * K_k * cell^2.
+        scale = kern_k["kern_k"] * (cell * cell)
+        phi_m = irfft3_pruned(re * scale, im * scale, kern_k)
+        gx, gy, gz = fd4_gradient_pruned(phi_m, cell, n)
+        force = jnp.stack([gx, gy, gz], axis=-1)
     else:
-        # Exact spectral gradient F(k) = -i k phi(k).
-        kx = (jnp.fft.fftfreq(npad).astype(p.pos.dtype) * (2.0 * PI)) / cell
-        kz = (jnp.fft.rfftfreq(npad).astype(p.pos.dtype) * (2.0 * PI)) / cell
+        rho_pad = (jnp.zeros((npad, npad, npad), rho.dtype)
+                   .at[:n, :n, :n].set(rho))
+        rho_k = jnp.fft.rfftn(rho_pad)
+        phi_k = rho_k * kern_k * (cell * cell)
 
-        def spectral_force(kvec_bcast):
-            return jnp.fft.irfftn((-1j) * kvec_bcast * phi_k,
-                                  s=(npad, npad, npad))
-        gx = spectral_force(kx[:, None, None])
-        gy = spectral_force(kx[None, :, None])
-        gz = spectral_force(kz[None, None, :])
+        if cfg.grav_gradient == "fd":
+            # One inverse FFT + cheap stencils; the Gaussian split
+            # suppresses the mid-k band where the FD operator attenuates,
+            # keeping the total force error in the same
+            # few-tenths-of-a-percent class (tests/test_gravity.py measures
+            # it against the direct oracle).
+            phi = jnp.fft.irfftn(phi_k, s=(npad, npad, npad))
+            gx, gy, gz = _fd4_gradient(phi, cell)
+        else:
+            # Exact spectral gradient F(k) = -i k phi(k).
+            kx = (jnp.fft.fftfreq(npad).astype(p.pos.dtype)
+                  * (2.0 * PI)) / cell
+            kz = (jnp.fft.rfftfreq(npad).astype(p.pos.dtype)
+                  * (2.0 * PI)) / cell
 
-    force = jnp.stack([gx[:n, :n, :n], gy[:n, :n, :n], gz[:n, :n, :n]],
-                      axis=-1)
+            def spectral_force(kvec_bcast):
+                return jnp.fft.irfftn((-1j) * kvec_bcast * phi_k,
+                                      s=(npad, npad, npad))
+            gx = spectral_force(kx[:, None, None])
+            gy = spectral_force(kx[None, :, None])
+            gz = spectral_force(kz[None, None, :])
+
+        force = jnp.stack([gx[:n, :n, :n], gy[:n, :n, :n], gz[:n, :n, :n]],
+                          axis=-1)
 
     acc = _cic_gather(force, p_dep.pos, origin, cell, n)
     acc = jnp.where(p_dep.alive[:, None], acc.astype(p.pos.dtype), 0.0)
