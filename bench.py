@@ -122,7 +122,42 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None,
     dt_wall = time.perf_counter() - t0
 
     alive = int(out.particles.n_alive)
-    return alive * steps / dt_wall
+
+    # Roofline context (VERDICT r3 item 7): pair-lane count from the ACTUAL
+    # window plan of this end state, an op-count estimate per lane, and the
+    # implied fraction of the single-chip VPU peak, so the throughput
+    # number carries its utilization story.
+    util = {}
+    try:
+        import jax.numpy as jnp
+
+        from summersph_tpu.ops import pallas_pairs as ppx
+        from summersph_tpu.ops.sorted_grid import sort_particles
+        _, sgrid = sort_particles(out.particles, cfg,
+                                  h_pad=1.0 if cfg.fixed_h is not None
+                                  else cfg.sort_h_pad)
+        if cfg.pallas_exact_windows:
+            _, _, covered = ppx.window_plan_exact(sgrid, cfg)
+            # slices are 128 lanes from the (clip-adjusted) exact start
+            lanes_total = float(jnp.sum(
+                covered - jnp.minimum(sgrid.starts, covered - 128)))
+        else:
+            _, _, _, covered = ppx.window_plan(sgrid, cfg)
+            lanes_total = float(jnp.sum(
+                covered - (sgrid.starts // 128) * 128))
+        # VPU op estimate per candidate lane: ~75 (force pass) + ~25
+        # (density pass); v5e single-chip VPU peak ~= 8*128*2 * 0.94 GHz.
+        ops_step = lanes_total * 100.0
+        vpu_peak = 8 * 128 * 2 * 0.94e9
+        util = {
+            "pair_lanes_per_row": round(lanes_total / max(alive, 1), 1),
+            "est_pair_ops_per_step": ops_step,
+            "est_vpu_utilization": round(
+                ops_step / (dt_wall / steps) / vpu_peak, 3),
+        }
+    except Exception:
+        pass
+    return alive * steps / dt_wall, util
 
 
 def probe_backend(timeout_s=180.0):
@@ -143,13 +178,14 @@ def probe_backend(timeout_s=180.0):
         return False
 
 
-def emit(metric, value, sweep, platform):
+def emit(metric, value, sweep, platform, util=None):
     print(json.dumps({
         "metric": metric,
         "value": value,
         "unit": "particle-steps/sec",
         "vs_baseline": value / 1e8,
         "platform": platform,
+        "utilization": util or {},
         "sweep": sweep,
     }), flush=True)
 
@@ -188,10 +224,10 @@ def main():
 
     metric = (f"particle-steps/sec (Keplerian disc, N={n}, "
               f"gravity={gravity}, single chip)")
-    value = run_config(n, steps, gravity, use_pallas)
+    value, util = run_config(n, steps, gravity, use_pallas)
     platform = jax.devices()[0].platform
     sweep = {}
-    emit(metric, value, sweep, platform)  # headline lands before sweep work
+    emit(metric, value, sweep, platform, util)  # headline before sweep work
 
     if do_sweep:
         # Sweep entries are best-effort extra evidence; each re-checks the
@@ -210,10 +246,10 @@ def main():
             else:
                 try:
                     sweep[label] = run_config(
-                        sn, steps, sg, use_pallas, pm_every=spe)
+                        sn, steps, sg, use_pallas, pm_every=spe)[0]
                 except Exception as e:
                     sweep[label] = f"failed: {e}"
-            emit(metric, value, sweep, platform)
+            emit(metric, value, sweep, platform, util)
 
 
 if __name__ == "__main__":

@@ -85,11 +85,18 @@ def build_disc100(smoke):
 
 def build_varh(smoke):
     n = 1024 if smoke else 20000
+    # Cells sized by the BULK of the h distribution (cell_h_quantile=0.9,
+    # the config-5 production setting): at N=20k the equilibrium h ~= 7 AU
+    # but the rim tail reaches max_length=20, and h_max-sized cells then
+    # hold ~500 particles — far beyond any static window (the first varh
+    # evidence attempt dropped ~2e6 candidates/step and blew up by t=2.4).
     cfg = SimConfig(fixed_h=None, eta=1.2, h_iter_max=3,
                     convergence_criteria=1e-3, max_length=20.0,
+                    cell_h_quantile=0.9,
                     gravity="pm", grav_grid=32 if smoke else 128,
                     gamma=1.4, bounding_size=1500.0,
                     end_time=4.0 if smoke else 20.0, dt_init=1e-3,
+                    pallas_fetch_window=1024,
                     **_pallas_cfg(smoke))
     state, _ = disc_ic(n=n, r_max=100.0, m_disc=5.0, m_star=5.0, u0=0.25,
                        rotation="keplerian", h0=5.0, sink_radius=3.5,
@@ -143,8 +150,11 @@ def run_config(name, smoke, seg_steps=64, max_wall=1800.0):
                and time.time() - t_start < max_wall):
             t0 = time.time()
             state = run_steps(state, cfg, seg_steps)
-            wall = time.time() - t0
+            # measure() forces the host transfer; only then is the segment
+            # actually done (dispatch is async — timing before the sync
+            # logged wall=0.0 for every segment of the first evidence pass)
             d = measure(state)
+            wall = time.time() - t0
             p, s = state.particles, state.sinks
             n_sinks = int(jnp.sum(s.alive & (s.mass > 0)))
             mom = np.asarray(d["momentum"])

@@ -165,6 +165,17 @@ class SimConfig:
     # Run the Pallas kernels in interpret mode (CPU-executable): tests
     # exercise the exact production code path on the virtual device mesh.
     pallas_interpret: bool = False
+    # Exact-start compute windows: fetch [fields, 256]-lane blocks at the
+    # 128-aligned base below each group window's TRUE start and lane-rotate
+    # them (pltpu.roll) so every compute slice is exactly 128 lanes anchored
+    # at the first real candidate.  Removes the 128-lane DMA alignment slop
+    # AND the W-granularity padding that force aligned windows to ~256
+    # lanes/offset (true spans are p50 72 / p99 110 at window_group=32 —
+    # docs/ROUND3.md), cutting pair-pass VPU lanes ~2x.  The per-group scalar
+    # plan packs (3-bit base, 7-bit shift) per offset; pallas_window is
+    # ignored (slices are 128 wide), pallas_fetch_window still bounds the
+    # per-program DMA.  False = the round-3 aligned-window kernels.
+    pallas_exact_windows: bool = False
     # Pallas short-range gravity (use_pallas): compute / fetch window pair
     # for the r_cut-sized gravity cells.  Occupancy scales with
     # rho * r_cut^3 (~280 particles/cell for a uniform 1e6 ball at the

@@ -33,6 +33,18 @@ Scalar prefetch carries per-program starts [G_p * 9] plus two packed
 int32s per group (sub-offsets, slice counts) — ~550 KB of SMEM at
 N = 1e6 (the per-group starts layout overflowed the 1 MB SMEM there).
 
+Exact-start mode (cfg.pallas_exact_windows): compute slices are always 128
+lanes anchored at each group window's TRUE start — the kernel reads the
+aligned [fields, 256] block below the start and lane-rotates it
+(pltpu.roll, a cheap VPU permute) so lane 0 is the first real candidate.
+This removes both the 128-lane alignment slop and the W-granularity
+padding: aligned windows burn ~256 lanes/offset against true spans of
+p50 72 / p99 110 (wg=32, docs/ROUND3.md), exact windows cover p99 in one
+128-lane slice — ~2x fewer pair lanes at the same coverage.  The plan
+packs (11-bit start offset, 3-bit slice count) per offset, two offsets
+per int32, five words per group (window_plan_exact; ~950 KB SMEM at
+N = 1e6 with wg=32, ~620 KB at wg=64).
+
 Correctness contract: candidates beyond a group's planned slices are
 *dropped*; the caller checks `window_overflow(grid, cfg)` == 0 (tests
 assert it) and can raise cfg.pallas_window / cfg.pallas_fetch_window.
@@ -130,9 +142,86 @@ def window_plan(grid: SortedGrid, cfg: SimConfig):
     return prog, sub_packed, nsl_packed, covered
 
 
+def window_plan_exact(grid: SortedGrid, cfg: SimConfig):
+    """Exact-start window plan (cfg.pallas_exact_windows).
+
+    Compute slices are always 128 lanes, anchored at each group window's
+    TRUE start: the kernel reads the aligned [fields, 256] block below the
+    start and lane-rotates it by the start's 128-remainder (pltpu.roll), so
+    neither the DMA-alignment slop nor the W-granularity padding costs VPU
+    lanes.  Aligned windows burn ~256 lanes/offset against true spans of
+    p50 72 / p99 110 (wg=32 ball geometry, docs/ROUND3.md) — exact windows
+    cover p99 in ONE 128-lane slice.
+
+    Returns (prog_starts [G_p, 9], (pk0..pk4) [G] each, covered_ends
+    [G, 9]).  Encoding: 14 bits per offset, two offsets per int32 word
+    (offset o lives in word o//2, half o%2):
+      * bits 0-10  — s_rel, the window's true start relative to the
+        program fetch (clipped to the encodable/readable range; clipping
+        moves coverage leftward only, and anything past the covered end is
+        counted by window_overflow, never silent).  The kernel derives
+        base = min(s_rel >> 7, (WB-256)//128) * 128 (the 128-aligned
+        256-lane read) and shift = s_rel - base (in [0, 128]) itself.
+      * bits 11-13 — n_slices - 1; slice k covers
+        [start + k*128, start + (k+1)*128) via the read at base + k*128
+        with the same shift.
+    """
+    n = grid.key.shape[0]
+    S = cfg.sorted_block // cfg.window_group
+    WB = min(cfg.pallas_fetch_window, n)
+    if WB < 2 * LANES:
+        raise ValueError(
+            f"pallas_exact_windows needs pallas_fetch_window >= 256 "
+            f"(rotated reads are 256 lanes); got effective {WB}")
+    aligned = (grid.starts // LANES) * LANES                 # [G, 9]
+    G = aligned.shape[0]
+    G_p = G // S
+    a3 = aligned.reshape(G_p, S, 9)
+    prog = jnp.minimum(a3.min(axis=1), max(n - WB, 0))       # [G_p, 9]
+    s_rel = grid.starts.reshape(G_p, S, 9).astype(jnp.int32) \
+        - prog[:, None, :]
+    # Slice k re-bases its 256-lane read per k (decode: base_k =
+    # min(rel_k // 128, (WB-256)//128), shift <= 128) and the at-most-one
+    # slice whose logical start lands in (WB-128, WB) clamps its read to
+    # WB-128 and masks lanes below its logical start — so coverage reaches
+    # WB exactly.  The 11-bit start field caps at 2047.
+    s_cap = min(WB - LANES, 2047)
+    s_rel = jnp.clip(s_rel, 0, s_cap).reshape(G, 9)
+    eff = prog.reshape(G_p, 1, 9).repeat(S, 1).reshape(G, 9) + s_rel
+    need = -((eff - grid.ends) // LANES)                     # ceil div
+    fit = -((s_rel - WB) // LANES)    # slices with logical start < WB
+    nsl = jnp.clip(need, 1, jnp.minimum(fit, 8))
+    covered = jnp.minimum(eff + nsl * LANES,
+                          prog.reshape(G_p, 1, 9).repeat(S, 1)
+                          .reshape(G, 9) + WB)
+    v14 = s_rel + ((nsl - 1) << 11)                          # [G, 9]
+    packs = []
+    for j in range(4):
+        packs.append(jnp.sum(
+            v14[:, 2 * j:2 * j + 2]
+            << (14 * jnp.arange(2, dtype=jnp.int32)),
+            axis=-1, dtype=jnp.int32))
+    packs.append(v14[:, 8])
+    return prog, tuple(packs), covered
+
+
+def _plan(grid: SortedGrid, cfg: SimConfig):
+    """(prog_flat [G_p*9], gvecs tuple of per-group [G] scalar arrays) for
+    the configured window mode — the kernels' scalar-prefetch operands."""
+    if cfg.pallas_exact_windows:
+        prog, gvecs, _ = window_plan_exact(grid, cfg)
+    else:
+        prog, suboff, nsl, _ = window_plan(grid, cfg)
+        gvecs = (suboff, nsl)
+    return prog.reshape(-1), gvecs
+
+
 def window_overflow(grid: SortedGrid, cfg: SimConfig) -> jax.Array:
     """Candidates beyond the planned slices (must be 0 for exactness)."""
-    _, _, _, covered = window_plan(grid, cfg)
+    if cfg.pallas_exact_windows:
+        _, _, covered = window_plan_exact(grid, cfg)
+    else:
+        _, _, _, covered = window_plan(grid, cfg)
     return jnp.sum(jnp.maximum(grid.ends - covered, 0))
 
 
@@ -170,9 +259,62 @@ def _wait_window_dmas(starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr,
             wsems.at[slot, o]).wait()
 
 
-def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
-                    out_hbm, rows_scr, win_scr, out_vmem, rsems, wsems, osem,
-                    *, window: int, window_big: int, b: int, s_sub: int):
+def _decode_plan(grefs, exact: bool, window_big: int, window: int):
+    """decode(gidx, o, k=0) -> (base_lanes, shift_or_None, nsl_minus_1,
+    lane_lo_or_None): slice k's column read position for the kernel's
+    scalar plan refs — aligned 3-bit sub-offsets + 3-bit slice counts
+    (window_plan) or exact-start 14-bit packs (window_plan_exact).
+
+    Exact slices re-base per k: base = min(rel_eff // 128, (WB-256)//128)
+    with rel_eff = min(s_rel + k*128, WB-128), keeping the rotate shift in
+    [0, 128].  When the logical start exceeds the readable max the read
+    clamps down and lane_lo = rel - rel_eff masks the already-covered
+    lanes below the logical start (at most one slice per window clamps —
+    starts step by 128 — so no pair is double counted)."""
+    if exact:
+        base_max = (window_big - 2 * LANES) // LANES
+        rel_max = window_big - LANES
+
+        def decode(gidx, o, k=0):
+            v = (grefs[o // 2][gidx] >> (14 * (o % 2))) & 0x3FFF
+            rel = (v & 2047) + k * LANES
+            rel_eff = jnp.minimum(rel, rel_max)
+            base = jnp.minimum(rel_eff >> 7, base_max) * LANES
+            lane_lo = (rel - rel_eff) if k else None
+            return base, rel_eff - base, v >> 11, lane_lo
+    else:
+        def decode(gidx, o, k=0):
+            base = ((grefs[0][gidx] >> (3 * o)) & 7) * LANES + k * window
+            return base, None, (grefs[1][gidx] >> (3 * o)) & 7, None
+    return decode
+
+
+def _col_reader(win_scr, slot, o, base, sh, window: int):
+    """col(idx) -> [window] column-field slice.  Aligned mode (sh None)
+    reads per-field at the 128-aligned base; exact mode reads the whole
+    [fields, 256] block once, lane-rotates it so lane 0 is the window's
+    TRUE start, and serves fields from the rotated block."""
+    scratch = win_scr.at[slot, o]
+    if sh is None:
+        return lambda idx: scratch[idx, pl.ds(base, window)]
+    blk = scratch[:, pl.ds(pl.multiple_of(base, 128), 2 * LANES)]
+    blk = pltpu.roll(blk, 2 * LANES - sh, 1)
+    return lambda idx: blk[idx, :window]
+
+
+def _max_slices(window: int, window_big: int, exact: bool) -> int:
+    if exact:
+        return min((window_big - LANES) // LANES + 1, 8)
+    return min(window_big // window, 8)
+
+
+def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
+                    exact: bool):
+    starts_ref = refs[0]
+    grefs = refs[1:len(refs) - 9]
+    (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
+     wsems, osem) = refs[len(refs) - 9:]
+    decode = _decode_plan(grefs, exact, window_big, window)
     # Double-buffered across grid programs: program i issues i+1's DMAs
     # before computing on i's slot, hiding the (10 copies) DMA latency.
     i = pl.program_id(0)
@@ -193,7 +335,7 @@ def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
     _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=DF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
-    max_slices = min(window_big // window, 8)
+    max_slices = _max_slices(window, window_big, exact)
 
     def row_fields(s):
         sub = slice(s * wg, (s + 1) * wg)
@@ -204,21 +346,25 @@ def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
         ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
         return xi, yi, zi, hi, ki
 
-    def tile(fields, o, base):
+    def tile(fields, o, base, sh, lane_lo=None):
         """[wg] (rho, omega) contributions of one W-slice window."""
         xi, yi, zi, hi, ki = fields
         inv_hi = 1.0 / hi
         inv_pi_h3 = (1.0 / PI) * inv_hi * inv_hi * inv_hi
-        scratch = win_scr.at[slot, o]
-        xw = scratch[_IX, pl.ds(base, window)]
-        yw = scratch[_IY, pl.ds(base, window)]
-        zw = scratch[_IZ, pl.ds(base, window)]
-        mw = scratch[_IM, pl.ds(base, window)]
-        kw = jax.lax.bitcast_convert_type(
-            scratch[_IKEY, pl.ds(base, window)], jnp.int32)
+        col = _col_reader(win_scr, slot, o, base, sh, window)
+        xw = col(_IX)
+        yw = col(_IY)
+        zw = col(_IZ)
+        mw = col(_IM)
+        kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
 
         mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
                 & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+        if lane_lo is not None:
+            # the one clamped slice of a deep window: lanes below its
+            # logical start were covered by the previous slice
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+            mask = mask & (lane >= lane_lo)
         dxx = xi[:, None] - xw[None, :]
         dxy = yi[:, None] - yw[None, :]
         dxz = zi[:, None] - zw[None, :]
@@ -245,10 +391,9 @@ def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
         fields = row_fields(s)
         rho = jnp.zeros((wg,), jnp.float32)
         om = jnp.zeros((wg,), jnp.float32)
-        pk = suboff_ref[i * s_sub + s]
         for o in range(9):
-            base = pl.multiple_of(((pk >> (3 * o)) & 7) * LANES, 128)
-            crho, com = tile(fields, o, base)
+            base, sh, _, _ = decode(i * s_sub + s, o)
+            crho, com = tile(fields, o, pl.multiple_of(base, 128), sh)
             rho = rho + crho
             om = om + com
         rho_subs.append(rho)
@@ -265,18 +410,17 @@ def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
         if max_slices == 1:
             break
         fields = row_fields(s)
-        pk = suboff_ref[i * s_sub + s]
-        pn = nsl_ref[i * s_sub + s]
         sl = slice(s * wg, (s + 1) * wg)
         for o in range(9):
-            base0 = ((pk >> (3 * o)) & 7) * LANES
-            nsl_m1 = (pn >> (3 * o)) & 7
+            _, _, nsl_m1, _ = decode(i * s_sub + s, o)
             for k in range(1, max_slices):
                 @pl.when(k <= nsl_m1)
-                def _(_o=o, _base=base0 + k * window, _sl=sl,
+                def _(_o=o, _k=k, _g=i * s_sub + s, _sl=sl,
                       _fields=fields):
+                    base_k, sh_k, _, lo_k = decode(_g, _o, _k)
                     crho, com = tile(_fields, _o,
-                                     pl.multiple_of(_base, 128))
+                                     pl.multiple_of(base_k, 128), sh_k,
+                                     lane_lo=lo_k)
                     out_vmem[0, _sl] = out_vmem[0, _sl] + crho
                     out_vmem[1, _sl] = out_vmem[1, _sl] + com
 
@@ -288,8 +432,9 @@ def _density_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
 
 def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
                 n_fields: int):
-    """(packed_rows, packed_cols, prog_starts, suboff, nsl, n_rows) for a
-    kernel launch.
+    """(packed_rows, packed_cols, prog_starts, gvecs, n_rows) for a kernel
+    launch — gvecs is the per-group scalar-plan tuple (mode-dependent; see
+    _plan).
 
     rows=None: rows are the whole sorted set.  rows=(p_rows, offset) with
     a scalar offset: compute sums only for the `p_rows.capacity` sorted
@@ -300,15 +445,13 @@ def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
     windows into the columns (parallel.decomp.build_cols).
     """
     packed_cols = _pack(p, grid.key, n_fields)
-    prog, suboff, nsl, _ = window_plan(grid, cfg)
-    prog = prog.reshape(-1)
+    prog, gvecs = _plan(grid, cfg)
     if rows is None:
-        return packed_cols, packed_cols, prog, suboff, nsl, p.capacity
+        return packed_cols, packed_cols, prog, gvecs, p.capacity
     p_rows, second = rows
     if jnp.ndim(second) == 1:        # decomp: (p_rows, key_rows)
         packed_rows = _pack(p_rows, second, n_fields)
-        return (packed_rows, packed_cols, prog, suboff, nsl,
-                p_rows.capacity)
+        return packed_rows, packed_cols, prog, gvecs, p_rows.capacity
     offset = second
     n_rows = p_rows.capacity
     B, wg = cfg.sorted_block, cfg.window_group
@@ -316,11 +459,10 @@ def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
     packed_rows = _pack(p_rows, key_rows, n_fields)
     prog_local = jax.lax.dynamic_slice(
         prog, (offset // B * 9,), (n_rows // B * 9,))
-    suboff_local = jax.lax.dynamic_slice(
-        suboff, (offset // wg,), (n_rows // wg,))
-    nsl_local = jax.lax.dynamic_slice(
-        nsl, (offset // wg,), (n_rows // wg,))
-    return packed_rows, packed_cols, prog_local, suboff_local, nsl_local, n_rows
+    gvecs_local = tuple(
+        jax.lax.dynamic_slice(g, (offset // wg,), (n_rows // wg,))
+        for g in gvecs)
+    return packed_rows, packed_cols, prog_local, gvecs_local, n_rows
 
 
 def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
@@ -336,7 +478,9 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     B = cfg.sorted_block
     S = B // cfg.window_group
     W, WB = _effective_windows(cfg, n)
-    packed_rows, packed_cols, prog, suboff, nsl, n_rows = (
+    if cfg.pallas_exact_windows:
+        W = LANES
+    packed_rows, packed_cols, prog, gvecs, n_rows = (
         prebuilt if prebuilt is not None
         else _row_slices(p, cfg, grid, rows, DF))
     G = n_rows // B
@@ -344,7 +488,7 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     # operands to 128 lanes
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1 + len(gvecs),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -362,19 +506,22 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     )
     out = pl.pallas_call(
         functools.partial(_density_kernel, window=W, window_big=WB, b=B,
-                          s_sub=S),
+                          s_sub=S, exact=cfg.pallas_exact_windows),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prog, suboff, nsl, packed_rows, packed_cols)
+    )(prog, *gvecs, packed_rows, packed_cols)
     return out[0], out[1]
 
 
-def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
-                  rows_scr, win_scr, out_vmem, rsems, wsems, osem, *,
-                  window: int, window_big: int, b: int, s_sub: int,
-                  av_eps: float, beta_factor: float):
+def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
+                  av_eps: float, beta_factor: float, exact: bool):
+    starts_ref = refs[0]
+    grefs = refs[1:len(refs) - 9]
+    (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
+     wsems, osem) = refs[len(refs) - 9:]
+    decode = _decode_plan(grefs, exact, window_big, window)
     i = pl.program_id(0)
     ng = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
@@ -393,7 +540,7 @@ def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
     _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=FF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
-    max_slices = min(window_big // window, 8)
+    max_slices = _max_slices(window, window_big, exact)
 
     def row_fields(s):
         sub = slice(s * wg, (s + 1) * wg)
@@ -406,7 +553,7 @@ def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
                 row(_IVZ), row(_IH), row(_IP), row(_IRHO), row(_IOM),
                 row(_ICS), row(_IAL), ki)
 
-    def tile(fields, o, base):
+    def tile(fields, o, base, sh, lane_lo=None):
         """[wg] (ax, ay, az, du, alpha_raw) contributions of one slice."""
         (xi, yi, zi, vxi, vyi, vzi, hi, pi_, rhoi, omi, csi, ali,
          ki) = fields
@@ -414,8 +561,7 @@ def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
         inv_hi = 1.0 / hi
         inv_pi_hi4 = (1.0 / PI) * inv_hi * inv_hi * inv_hi * inv_hi
 
-        def col(idx, _o=o, _base=base):
-            return win_scr[slot, _o, idx, pl.ds(_base, window)]
+        col = _col_reader(win_scr, slot, o, base, sh, window)
 
         xw, yw, zw = col(_IX), col(_IY), col(_IZ)
         mw, hw = col(_IM), col(_IH)
@@ -434,6 +580,11 @@ def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
 
         mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
                 & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+        if lane_lo is not None:
+            # the one clamped slice of a deep window: lanes below its
+            # logical start were covered by the previous slice
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+            mask = mask & (lane >= lane_lo)
 
         dxx = xi[:, None] - xw[None, :]
         dxy = yi[:, None] - yw[None, :]
@@ -478,10 +629,9 @@ def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
     for s in range(s_sub):
         fields = row_fields(s)
         acc = [jnp.zeros((wg,), jnp.float32) for _ in range(5)]
-        pk = suboff_ref[i * s_sub + s]
         for o in range(9):
-            base = pl.multiple_of(((pk >> (3 * o)) & 7) * LANES, 128)
-            contrib = tile(fields, o, base)
+            base, sh, _, _ = decode(i * s_sub + s, o)
+            contrib = tile(fields, o, pl.multiple_of(base, 128), sh)
             acc = [a + c for a, c in zip(acc, contrib)]
         acc_subs.append(acc)
 
@@ -494,17 +644,16 @@ def _force_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm, out_hbm,
         if max_slices == 1:
             break
         fields = row_fields(s)
-        pk = suboff_ref[i * s_sub + s]
-        pn = nsl_ref[i * s_sub + s]
         sl = slice(s * wg, (s + 1) * wg)
         for o in range(9):
-            base0 = ((pk >> (3 * o)) & 7) * LANES
-            nsl_m1 = (pn >> (3 * o)) & 7
+            _, _, nsl_m1, _ = decode(i * s_sub + s, o)
             for k in range(1, max_slices):
                 @pl.when(k <= nsl_m1)
-                def _(_o=o, _base=base0 + k * window, _sl=sl,
+                def _(_o=o, _k=k, _g=i * s_sub + s, _sl=sl,
                       _fields=fields):
-                    contrib = tile(_fields, _o, pl.multiple_of(_base, 128))
+                    base_k, sh_k, _, lo_k = decode(_g, _o, _k)
+                    contrib = tile(_fields, _o, pl.multiple_of(base_k, 128),
+                                   sh_k, lane_lo=lo_k)
                     for c in range(5):
                         out_vmem[c, _sl] = out_vmem[c, _sl] + contrib[c]
 
@@ -523,13 +672,15 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     B = cfg.sorted_block
     S = B // cfg.window_group
     W, WB = _effective_windows(cfg, n)
-    packed_rows, packed_cols, prog, suboff, nsl, n_rows = (
+    if cfg.pallas_exact_windows:
+        W = LANES
+    packed_rows, packed_cols, prog, gvecs, n_rows = (
         prebuilt if prebuilt is not None
         else _row_slices(p, cfg, grid, rows, FF))
     G = n_rows // B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1 + len(gvecs),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -548,18 +699,18 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     out = pl.pallas_call(
         functools.partial(_force_kernel, window=W, window_big=WB, b=B,
                           s_sub=S, av_eps=cfg.av_eps,
-                          beta_factor=cfg.beta_factor),
+                          beta_factor=cfg.beta_factor,
+                          exact=cfg.pallas_exact_windows),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prog, suboff, nsl, packed_rows, packed_cols)
+    )(prog, *gvecs, packed_rows, packed_cols)
     return out[0], out[1], out[2], out[3], out[4]
 
 
-def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
-                 out_hbm, rows_scr, win_scr, out_vmem, rsems, wsems, osem,
-                 *, window: int, window_big: int, b: int, s_sub: int):
+def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
+                 exact: bool):
     """Short-range (TreePM complement) gravity pair sums.
 
     Same two-level window structure as the SPH kernels; pair math is the
@@ -573,6 +724,11 @@ def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
     from .pm_gravity import erf_approx
     from ..utils.units import G
 
+    starts_ref = refs[0]
+    grefs = refs[1:len(refs) - 9]
+    (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
+     wsems, osem) = refs[len(refs) - 9:]
+    decode = _decode_plan(grefs, exact, window_big, window)
     i = pl.program_id(0)
     ng = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
@@ -591,7 +747,7 @@ def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
     _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=DF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
-    max_slices = min(window_big // window, 8)
+    max_slices = _max_slices(window, window_big, exact)
 
     r_s = rows_scr[slot, _IRS, 0]
     r_cut2 = rows_scr[slot, _IRCUT, 0]
@@ -608,18 +764,22 @@ def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
         ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
         return xi, yi, zi, inv_hi, ki
 
-    def tile(fields, o, base):
+    def tile(fields, o, base, sh, lane_lo=None):
         xi, yi, zi, inv_hi, ki = fields
-        scratch = win_scr.at[slot, o]
-        xw = scratch[_IX, pl.ds(base, window)]
-        yw = scratch[_IY, pl.ds(base, window)]
-        zw = scratch[_IZ, pl.ds(base, window)]
-        mw = scratch[_IM, pl.ds(base, window)]
-        kw = jax.lax.bitcast_convert_type(
-            scratch[_IKEY, pl.ds(base, window)], jnp.int32)
+        col = _col_reader(win_scr, slot, o, base, sh, window)
+        xw = col(_IX)
+        yw = col(_IY)
+        zw = col(_IZ)
+        mw = col(_IM)
+        kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
 
         mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
                 & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
+        if lane_lo is not None:
+            # the one clamped slice of a deep window: lanes below its
+            # logical start were covered by the previous slice
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+            mask = mask & (lane >= lane_lo)
         dxx = xi[:, None] - xw[None, :]
         dxy = yi[:, None] - yw[None, :]
         dxz = zi[:, None] - zw[None, :]
@@ -645,10 +805,9 @@ def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
     for s in range(s_sub):
         fields = row_fields(s)
         acc = [jnp.zeros((wg,), jnp.float32) for _ in range(3)]
-        pk = suboff_ref[i * s_sub + s]
         for o in range(9):
-            base = pl.multiple_of(((pk >> (3 * o)) & 7) * LANES, 128)
-            contrib = tile(fields, o, base)
+            base, sh, _, _ = decode(i * s_sub + s, o)
+            contrib = tile(fields, o, pl.multiple_of(base, 128), sh)
             acc = [a + c for a, c in zip(acc, contrib)]
         acc_subs.append(acc)
 
@@ -661,17 +820,16 @@ def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
         if max_slices == 1:
             break
         fields = row_fields(s)
-        pk = suboff_ref[i * s_sub + s]
-        pn = nsl_ref[i * s_sub + s]
         sl = slice(s * wg, (s + 1) * wg)
         for o in range(9):
-            base0 = ((pk >> (3 * o)) & 7) * LANES
-            nsl_m1 = (pn >> (3 * o)) & 7
+            _, _, nsl_m1, _ = decode(i * s_sub + s, o)
             for k in range(1, max_slices):
                 @pl.when(k <= nsl_m1)
-                def _(_o=o, _base=base0 + k * window, _sl=sl,
+                def _(_o=o, _k=k, _g=i * s_sub + s, _sl=sl,
                       _fields=fields):
-                    contrib = tile(_fields, _o, pl.multiple_of(_base, 128))
+                    base_k, sh_k, _, lo_k = decode(_g, _o, _k)
+                    contrib = tile(_fields, _o, pl.multiple_of(base_k, 128),
+                                   sh_k, lane_lo=lo_k)
                     for c in range(3):
                         out_vmem[c, _sl] = out_vmem[c, _sl] + contrib[c]
 
@@ -681,15 +839,16 @@ def _grav_kernel(starts_ref, suboff_ref, nsl_ref, rows_hbm, cols_hbm,
     ocopy.wait()
 
 
-def pallas_grav_short_sums(packed_rows, packed_cols, prog, suboff, nsl,
+def pallas_grav_short_sums(packed_rows, packed_cols, prog, gvecs,
                            cfg: SimConfig, interpret: bool = False):
     """(ax, ay, az) short-range gravity sums over pre-packed [8, N] arrays.
 
     `packed_rows`/`packed_cols` use the gravity pack layout
     (x y z m h key r_s r_cut) in *gravity-sorted* order — the two traced
-    split scalars broadcast into the pad fields; `prog`/`suboff`/`nsl` are
-    the window plan for the gravity grid with cfg.grav_pallas_window /
-    cfg.grav_pallas_fetch as the window pair (ops.pm_gravity builds both).
+    split scalars broadcast into the pad fields; `prog`/`gvecs` are the
+    window plan for the gravity grid with cfg.grav_pallas_window /
+    cfg.grav_pallas_fetch as the window pair (ops.pm_gravity builds both;
+    gvecs is the mode-dependent per-group scalar tuple, see _plan).
     """
     B = cfg.sorted_block
     S = B // cfg.window_group
@@ -698,10 +857,12 @@ def pallas_grav_short_sums(packed_rows, packed_cols, prog, suboff, nsl,
     gcfg = cfg.with_(pallas_window=cfg.grav_pallas_window,
                      pallas_fetch_window=cfg.grav_pallas_fetch)
     W, WB = _effective_windows(gcfg, n_cols)
+    if cfg.pallas_exact_windows:
+        W = LANES
     G = n_rows // B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1 + len(gvecs),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -719,12 +880,12 @@ def pallas_grav_short_sums(packed_rows, packed_cols, prog, suboff, nsl,
     )
     out = pl.pallas_call(
         functools.partial(_grav_kernel, window=W, window_big=WB, b=B,
-                          s_sub=S),
+                          s_sub=S, exact=cfg.pallas_exact_windows),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prog, suboff, nsl, packed_rows, packed_cols)
+    )(prog, *gvecs, packed_rows, packed_cols)
     return out[0], out[1], out[2]
 
 

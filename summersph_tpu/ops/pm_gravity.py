@@ -566,7 +566,8 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
         # Pallas two-level-window kernel (ops.pallas_pairs._grav_kernel):
         # exact extents instead of slab block rows — the XLA slab path
         # below burns 9 * grav_window_blocks * 128 lanes per row.
-        from .pallas_pairs import pallas_grav_short_sums, window_plan
+        from .pallas_pairs import (pallas_grav_short_sums, window_plan,
+                                   window_plan_exact)
         from .sorted_grid import SortedGrid
 
         gcfg = cfg.with_(pallas_window=cfg.grav_pallas_window,
@@ -575,7 +576,11 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
             key=key_s, starts=starts, ends=ends, origin=origin,
             cell_size=cell, n_window_overflow=jnp.zeros((), jnp.int32),
             n_clamped=jnp.zeros((), jnp.int32))
-        prog, suboff, nsl, covered = window_plan(gridlike, gcfg)
+        if gcfg.pallas_exact_windows:
+            prog, gvecs, covered = window_plan_exact(gridlike, gcfg)
+        else:
+            prog, suboff, nsl, covered = window_plan(gridlike, gcfg)
+            gvecs = (suboff, nsl)
         n_over = jnp.sum(jnp.maximum(ends - covered, 0)).astype(jnp.int32)
         key_f = jax.lax.bitcast_convert_type(key_s, jnp.float32)
         rs_col = jnp.full_like(xs, jnp.asarray(r_s, xs.dtype))
@@ -583,7 +588,7 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
         packed = jnp.stack([xs, ys, zs, ms, hs, key_f, rs_col, rcut_col])
         prog_f = prog.reshape(-1)
         if rows is None:
-            packed_rows, prog_l, sub_l, nsl_l = packed, prog_f, suboff, nsl
+            packed_rows, prog_l, gvecs_l = packed, prog_f, gvecs
         else:
             if nloc % cfg.sorted_block:
                 raise ValueError(
@@ -594,12 +599,11 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
                                                        axis=1)
             prog_l = jax.lax.dynamic_slice_in_dim(
                 prog_f, off_g // cfg.sorted_block * 9, nloc // cfg.sorted_block * 9)
-            sub_l = jax.lax.dynamic_slice_in_dim(
-                suboff, off_g // B, nloc // B)
-            nsl_l = jax.lax.dynamic_slice_in_dim(
-                nsl, off_g // B, nloc // B)
+            gvecs_l = tuple(
+                jax.lax.dynamic_slice_in_dim(g, off_g // B, nloc // B)
+                for g in gvecs)
         axf, ayf, azf = pallas_grav_short_sums(
-            packed_rows, packed, prog_l, sub_l, nsl_l, cfg,
+            packed_rows, packed, prog_l, gvecs_l, cfg,
             interpret=cfg.pallas_interpret)
         coverage = covered
     else:

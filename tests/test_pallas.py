@@ -83,3 +83,52 @@ def test_pallas_multislice_windows_match_xla():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=2e-4,
                                atol=1e-6)
+
+
+def test_pallas_exact_windows_match_xla():
+    """cfg.pallas_exact_windows: rotated 128-lane exact-start windows must
+    reproduce the XLA sorted engine bit-for-bit in coverage (window_plan
+    guarantees covered_ends >= ends here, so no drops)."""
+    p = lattice_particles(nside=8, spacing=1.0, h=1.3, jitter=0.25)
+    cfg = SimConfig(fixed_h=None, neighbor_mode="sorted", sorted_block=128,
+                    window_group=32, window_blocks=5,
+                    pallas_fetch_window=640, pallas_exact_windows=True,
+                    use_pallas=True)
+    p2, grid = sort_particles(p, cfg)
+    assert int(window_overflow(grid, cfg)) == 0
+
+    pd = sorted_density(p2, cfg, grid)
+    pp = pallas_density(p2, cfg, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(pp.rho), np.asarray(pd.rho),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(pp.omega), np.asarray(pd.omega),
+                               rtol=2e-4, atol=1e-6)
+
+    pe = eos_update(pd, cfg)
+    a1, d1, al1 = sorted_forces(pe, cfg, grid)
+    a2, d2, al2 = pallas_forces(pe, cfg, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=2e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(al2), np.asarray(al1), rtol=2e-4,
+                               atol=1e-6)
+
+
+def test_pallas_exact_windows_gravity_matches():
+    """Short-range PM gravity with exact windows == aligned windows."""
+    import jax.numpy as jnp
+    from summersph_tpu.ops.pm_gravity import pm_short_range
+
+    p = lattice_particles(nside=8, spacing=1.0, h=1.3, jitter=0.25)
+    base = SimConfig(fixed_h=None, neighbor_mode="sorted", sorted_block=128,
+                     window_group=32, gravity="pm", grav_grid=16,
+                     grav_pallas_window=640, grav_pallas_fetch=768,
+                     use_pallas=True, pallas_interpret=True)
+    r_s = jnp.asarray(0.9, p.pos.dtype)
+    acc_a, over_a = pm_short_range(p, base, r_s)
+    acc_e, over_e = pm_short_range(
+        p, base.with_(pallas_exact_windows=True), r_s)
+    assert int(over_a) == 0 and int(over_e) == 0
+    np.testing.assert_allclose(np.asarray(acc_e), np.asarray(acc_a),
+                               rtol=2e-5, atol=1e-7)
