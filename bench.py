@@ -86,6 +86,15 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None,
     # The gravity configs were sized/validated at wg=32, so keep them there.
     wg_rows = int(os.environ.get(
         "BENCH_WG", 64 if gravity == "none" else 32))
+    # Exact-start rotated windows (cfg.pallas_exact_windows): A/B via env
+    # until the on-chip sweep picks the production default.
+    exact = os.environ.get("BENCH_EXACT", "0") == "1"
+    # Fused short-range gravity (cfg.grav_fuse_short): valid when
+    # r_cut <= the SPH cell, i.e. fine meshes (grav_grid >= 256 at this
+    # bench geometry); the step's grav_window_overflow counter trips
+    # loudly if the box ever outgrows the precondition.
+    fuse = os.environ.get(
+        "BENCH_FUSE", "1" if grav_grid >= 256 else "0") == "1"
     # Far-field subcycling (SimConfig.pm_every): recompute the mesh FFT
     # every k-th step, hold it in between.  1 = literal reference behaviour.
     if pm_every is None:
@@ -97,6 +106,8 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None,
         grav_grid=grav_grid,
         grav_pallas_window=gw, grav_pallas_fetch=gw + 384,
         window_blocks=3, grav_window_blocks=8,
+        pallas_exact_windows=exact,
+        grav_fuse_short=fuse and gravity != "none",
         gamma=1.4, bounding_size=1500.0,
         dt_init=1e-4, dt_min=1e-5, dt_max=1e-3,
         pm_every=pm_every if gravity != "none" else 1,
@@ -145,12 +156,14 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None,
             _, _, _, covered = ppx.window_plan(sgrid, cfg)
             lanes_total = float(jnp.sum(
                 covered - (sgrid.starts // 128) * 128))
-        # VPU op estimate per candidate lane: ~75 (force pass) + ~25
-        # (density pass); v5e single-chip VPU peak ~= 8*128*2 * 0.94 GHz.
-        ops_step = lanes_total * 100.0
+        # Each group window serves window_group rows; VPU op estimate per
+        # (row, candidate-lane) pair: ~75 (force pass) + ~25 (density
+        # pass); v5e single-chip VPU peak ~= 8*128*2 * 0.94 GHz.
+        ops_step = lanes_total * cfg.window_group * 100.0
         vpu_peak = 8 * 128 * 2 * 0.94e9
         util = {
-            "pair_lanes_per_row": round(lanes_total / max(alive, 1), 1),
+            "pair_lanes_per_row": round(
+                lanes_total * cfg.window_group / max(alive, 1), 1),
             "est_pair_ops_per_step": ops_step,
             "est_vpu_utilization": round(
                 ops_step / (dt_wall / steps) / vpu_peak, 3),

@@ -71,7 +71,7 @@ def run_one(n, steps, exact, wg, WB, W=256):
     pst = alive / dt_wall
     print(f"exact={int(exact)} wg={wg:3d} WB={WB:4d} W={W:4d}: "
           f"{dt_wall*1e3:7.1f} ms/step  {pst:.3e} p-steps/s  "
-          f"lanes/row {lanes/alive:7.1f}  dropped {dropped}", flush=True)
+          f"lanes/row {lanes*wg/alive:7.1f}  dropped {dropped}", flush=True)
     return pst
 
 

@@ -127,6 +127,18 @@ class SimConfig:
     # short-range pairs (median 19% of |a_grav| per affected row) —
     # scripts/c5_window_audit.py.
     grav_overflow_items: int = 0
+    # Fuse the short-range (TreePM complement) gravity pair sums into the
+    # Pallas SPH FORCE kernel: when r_cut <= the SPH cell size (fine
+    # meshes: at grav_grid=256 on the N=1e6 bench disc, r_cut = 3.5 AU vs
+    # cell = 3.9 AU) every gravity pair is already inside the SPH +-1-cell
+    # stencil, so the complement costs ~14 extra VPU ops on lanes the
+    # force kernel already touches instead of a second 7-operand sort +
+    # window plan + kernel launch.  The r_cut <= cell precondition is
+    # checked per step: a violating step reports n_alive in the
+    # grav_window_overflow stats slot (loud, like every coverage knob).
+    # Single-chip sorted+Pallas engine only; off = separate short-range
+    # pass (ops.pm_gravity.pm_short_range).
+    grav_fuse_short: bool = False
     # Recompute the PM long-range (mesh FFT) force every k-th step and HOLD
     # it in between (RESPA / Gadget-style far-field subcycling; the
     # short-range pair complement stays per-step).  The far field varies on

@@ -116,6 +116,13 @@ def force_eval(p: Particles, s: Sinks, cfg: SimConfig,
         raise ValueError(
             "cfg.pm_every > 1 (held long-range PM force) is implemented "
             "for neighbor_mode='sorted' without slab decomposition")
+    if cfg.grav_fuse_short and (cfg.neighbor_mode != "sorted"
+                                or not cfg.use_pallas
+                                or axis_name is not None):
+        raise ValueError(
+            "cfg.grav_fuse_short (short-range gravity fused into the SPH "
+            "force kernel) is implemented for the single-chip sorted "
+            "Pallas engine")
     if cfg.neighbor_mode == "sorted":
         if axis_name is None:
             return _force_eval_sorted(p, s, cfg, kern_k=kern_k, pm=pm)
@@ -180,32 +187,75 @@ def _force_eval_sorted(p: Particles, s: Sinks, cfg: SimConfig, kern_k=None,
     from .ops.sorted_grid import sort_particles, sorted_density, sorted_forces
 
     if cfg.use_pallas:
-        if p.pos.dtype != jnp.float32:
+        if p.pos.dtype != jnp.float32 and not cfg.pallas_interpret:
             raise ValueError(
-                "use_pallas requires float32 state (the Pallas pair kernels "
-                "are f32); use the XLA sorted engine for float64 validation "
-                "runs")
+                "use_pallas on hardware requires float32 state (Mosaic "
+                "lowers the pair kernels for f32 lanes); float64 validation "
+                "runs CAN exercise the production kernel code path with "
+                "cfg.pallas_interpret=True (dtype-polymorphic interpret "
+                "mode), or use the XLA sorted engine")
         _check_pallas_cfg(cfg)
 
     h_pad = 1.0 if cfg.fixed_h is not None else cfg.sort_h_pad
     p2, sgrid = sort_particles(p, cfg, h_pad=h_pad)
+
+    # Fused short-range gravity (cfg.grav_fuse_short): the SPH force
+    # kernel needs the split scale BEFORE the long-range solve runs.
+    # pm_geometry is deterministic in (p2, cfg), so the fresh value here
+    # equals what pm_long_range will derive; on held far-field steps
+    # (cfg.pm_every) the complement must match the HELD split instead.
+    fuse = (cfg.grav_fuse_short and cfg.gravity in ("bh", "pm", "treepm"))
+    grav_split = None
+    phase = r_s_held = None
+    if cfg.gravity in ("bh", "pm", "treepm") and cfg.pm_every > 1:
+        phase, r_s_held = _pm_phase_args(pm, p2.pos.dtype)
+    if fuse:
+        from .ops.pm_gravity import pm_geometry
+        _, _, r_s_fresh = pm_geometry(p2, cfg)
+        if r_s_held is not None:
+            recompute = (phase == 0) | (r_s_held <= 0.0)
+            r_s_use = jnp.where(recompute, r_s_fresh, r_s_held)
+        else:
+            r_s_use = r_s_fresh
+        grav_split = (r_s_use, cfg.effective_rcut_rs() * r_s_use)
+
     if cfg.use_pallas:
         from .ops.pallas_pairs import pallas_pair_eval
-        p2, acc, du, dalpha = pallas_pair_eval(
-            p2, cfg, sgrid, interpret=cfg.pallas_interpret)
+        out = pallas_pair_eval(p2, cfg, sgrid,
+                               interpret=cfg.pallas_interpret,
+                               grav_split=grav_split)
+        p2, acc, du, dalpha = out[:4]
+        acc_grav_short = out[4] if fuse else None
     else:
         p2 = sorted_density(p2, cfg, sgrid)
         p2 = eos_update(p2, cfg)
         acc, du, dalpha = sorted_forces(p2, cfg, sgrid)
+        acc_grav_short = None
 
     grav_over = jnp.zeros((), jnp.int32)
     pm_r_s = None
     if cfg.gravity == "direct":
         acc = acc + gas_gravity_direct(p2, cfg)
+    elif fuse:
+        from .ops.pm_gravity import pm_long_range_held
+        if r_s_held is None:
+            phase = jnp.zeros((), jnp.int32)
+            r_s_held = jnp.zeros((), p2.pos.dtype)
+        acc_long, r_s_out = pm_long_range_held(p2, cfg, phase, r_s_held,
+                                               kern_k=kern_k)
+        if cfg.pm_every > 1:
+            p2 = p2.replace(acc_ext=acc_long)
+            pm_r_s = r_s_out
+        acc = acc + acc_long + acc_grav_short
+        # Fused coverage rides the SPH windows, which bound every pair
+        # only while r_cut <= the sort cell; a violating step is reported
+        # as every row potentially under-covered — loud, never silent.
+        grav_over = jnp.where(
+            grav_split[1] <= sgrid.cell_size, 0,
+            jnp.sum(p2.alive)).astype(jnp.int32)
     elif cfg.gravity in ("bh", "pm", "treepm"):
         from .ops.pm_gravity import gas_gravity_pm, gas_gravity_pm_held
         if cfg.pm_every > 1:
-            phase, r_s_held = _pm_phase_args(pm, p2.pos.dtype)
             acc_pm, grav_over, acc_long, pm_r_s = gas_gravity_pm_held(
                 p2, cfg, phase, r_s_held, kern_k=kern_k)
             p2 = p2.replace(acc_ext=acc_long)

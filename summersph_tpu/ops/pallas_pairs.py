@@ -71,12 +71,29 @@ _IX, _IY, _IZ, _IM, _IH, _IKEY = 0, 1, 2, 3, 4, 5
 DF = 8  # density pack: x y z m h key pad pad
 _IRS, _IRCUT = 6, 7  # gravity pack reuses the pads for (r_s, r_cut)
 _IVX, _IVY, _IVZ, _IP, _IRHO, _IOM, _ICS, _IAL = 6, 7, 8, 9, 10, 11, 12, 13
-FF = 16  # force pack: x y z m h key vx vy vz P rho om cs al pad pad
+_IFRS, _IFRC = 14, 15  # fused-gravity split scalars in the force pack pads
+FF = 16  # force pack: x y z m h key vx vy vz P rho om cs al (r_s) (r_cut)
+
+
+def _key_to_float(key, dtype):
+    """Cell key as a float lane of the pack: int32 <-> f32 bitcast, or
+    widened int64 <-> f64 for float64 validation runs (interpret mode)."""
+    if jnp.dtype(dtype) == jnp.float64:
+        return jax.lax.bitcast_convert_type(key.astype(jnp.int64),
+                                            jnp.float64)
+    return jax.lax.bitcast_convert_type(key, jnp.float32)
+
+
+def _float_to_key(kf):
+    """Inverse of _key_to_float (int64 keys compare fine vs int32 refs)."""
+    if kf.dtype == jnp.float64:
+        return jax.lax.bitcast_convert_type(kf, jnp.int64)
+    return jax.lax.bitcast_convert_type(kf, jnp.int32)
 
 
 def _pack(p: Particles, key: jax.Array, n_fields: int) -> jax.Array:
     """[F, N] field-major pack of the sorted particle fields."""
-    key_f = jax.lax.bitcast_convert_type(key, jnp.float32)
+    key_f = _key_to_float(key, p.pos.dtype)
     cols = [p.pos[:, 0], p.pos[:, 1], p.pos[:, 2],
             jnp.where(p.alive, p.mass, 0.0), p.h, key_f]
     if n_fields == FF:
@@ -343,7 +360,7 @@ def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         yi = rows_ref[_IY, sub]
         zi = rows_ref[_IZ, sub]
         hi = rows_ref[_IH, sub]
-        ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
+        ki = _float_to_key(rows_ref[_IKEY, sub])
         return xi, yi, zi, hi, ki
 
     def tile(fields, o, base, sh, lane_lo=None):
@@ -356,7 +373,7 @@ def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         yw = col(_IY)
         zw = col(_IZ)
         mw = col(_IM)
-        kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
+        kw = _float_to_key(col(_IKEY))
 
         mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
                 & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
@@ -389,8 +406,8 @@ def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
     om_subs = []
     for s in range(s_sub):
         fields = row_fields(s)
-        rho = jnp.zeros((wg,), jnp.float32)
-        om = jnp.zeros((wg,), jnp.float32)
+        rho = jnp.zeros((wg,), rows_ref.dtype)
+        om = jnp.zeros((wg,), rows_ref.dtype)
         for o in range(9):
             base, sh, _, _ = decode(i * s_sub + s, o)
             crho, com = tile(fields, o, pl.multiple_of(base, 128), sh)
@@ -402,7 +419,7 @@ def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
     out_vmem[0, :] = jnp.concatenate(rho_subs)
     out_vmem[1, :] = jnp.concatenate(om_subs)
     for _pad_row in range(2, 8):
-        out_vmem[_pad_row, :] = jnp.zeros((b,), jnp.float32)
+        out_vmem[_pad_row, :] = jnp.zeros((b,), rows_ref.dtype)
 
     # pass 2: extra slices for the heavy-tail groups only (pl.when skips
     # the tile at runtime when the group's candidates fit in slice 0)
@@ -496,9 +513,9 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, DF, B), jnp.float32),
-            pltpu.VMEM((2, 9, DF, WB), jnp.float32),
-            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.VMEM((2, DF, B), packed_cols.dtype),
+            pltpu.VMEM((2, 9, DF, WB), packed_cols.dtype),
+            pltpu.VMEM((8, B), packed_cols.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 9)),
             pltpu.SemaphoreType.DMA(()),
@@ -507,7 +524,7 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     out = pl.pallas_call(
         functools.partial(_density_kernel, window=W, window_big=WB, b=B,
                           s_sub=S, exact=cfg.pallas_exact_windows),
-        out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, n_rows), packed_cols.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -516,7 +533,16 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
 
 
 def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
-                  av_eps: float, beta_factor: float, exact: bool):
+                  av_eps: float, beta_factor: float, exact: bool,
+                  fuse_grav: bool):
+    """SPH pressure+AV pair force; with fuse_grav also the short-range
+    (TreePM complement) gravity sums over the SAME windows and pair
+    geometry — valid when r_cut <= the SPH cell size, so the +-1-cell
+    stencil bounds every gravity pair (integrate guards this; violations
+    are counted loudly).  Reuses dxx/r2/inv_r from the SPH math: ~14 extra
+    VPU ops per lane instead of a second sort + kernel + window pass.
+    The traced split scalars ride the rows pack's two pad fields
+    (_IFRS/_IFRC), exactly like the standalone gravity kernel's."""
     starts_ref = refs[0]
     grefs = refs[1:len(refs) - 9]
     (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
@@ -541,6 +567,17 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
     max_slices = _max_slices(window, window_big, exact)
+    nc = 8 if fuse_grav else 5  # output components per row
+
+    if fuse_grav:
+        from .kernels import grav_shape
+        from .pm_gravity import erf_approx
+        from ..utils.units import G
+        r_s = rows_scr[slot, _IFRS, 0]
+        r_cut2 = rows_scr[slot, _IFRC, 0]
+        r_cut2 = r_cut2 * r_cut2
+        inv_2rs = 0.5 / r_s
+        inv_rs_sqrtpi = 1.0 / (r_s * jnp.sqrt(r_s.dtype.type(PI)))
 
     def row_fields(s):
         sub = slice(s * wg, (s + 1) * wg)
@@ -548,7 +585,7 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         def row(idx, _sub=sub):
             return rows_ref[idx, _sub]
 
-        ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
+        ki = _float_to_key(rows_ref[_IKEY, sub])
         return (row(_IX), row(_IY), row(_IZ), row(_IVX), row(_IVY),
                 row(_IVZ), row(_IH), row(_IP), row(_IRHO), row(_IOM),
                 row(_ICS), row(_IAL), ki)
@@ -568,7 +605,7 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         vxw, vyw, vzw = col(_IVX), col(_IVY), col(_IVZ)
         pw, rhow, omw = col(_IP), col(_IRHO), col(_IOM)
         csw, alw = col(_ICS), col(_IAL)
-        kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
+        kw = _float_to_key(col(_IKEY))
 
         # per-column ([W]-shaped, cheap) reciprocals replace per-pair
         # ([wg, W]) divisions; maximum-guards replace select chains —
@@ -618,27 +655,41 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         scal = pterm_i[:, None] * dw_i + pterm_j * dw_j + visc * dwbar
         coef = -m * scal * inv_r
         vdotgradw = vdotr * inv_r * dwbar
-        return (jnp.sum(coef * dxx, axis=1),
-                jnp.sum(coef * dxy, axis=1),
-                jnp.sum(coef * dxz, axis=1),
-                jnp.sum(m * vdotgradw * (pterm_i[:, None] + 0.5 * visc),
-                        axis=1),
-                jnp.sum(m * vdotgradw, axis=1))
+        out = [jnp.sum(coef * dxx, axis=1),
+               jnp.sum(coef * dxy, axis=1),
+               jnp.sum(coef * dxz, axis=1),
+               jnp.sum(m * vdotgradw * (pterm_i[:, None] + 0.5 * visc),
+                       axis=1),
+               jnp.sum(m * vdotgradw, axis=1)]
+        if fuse_grav:
+            # complementary short-range gravity on the same pair geometry
+            # (ops.pm_gravity._short_factor, receiver-side softening h)
+            x = r * inv_2rs
+            expmx2 = jnp.exp(-x * x)
+            s_mesh = erf_approx(x, expmx2) - r * inv_rs_sqrtpi * expmx2
+            gshort = grav_shape(r * inv_hi[:, None]) - s_mesh
+            mg = jnp.where(mask & (r2 > 0.0) & (r2 < r_cut2),
+                           mw[None, :], 0.0)
+            gcoef = (-G) * mg * gshort * (inv_r * inv_r * inv_r)
+            out += [jnp.sum(gcoef * dxx, axis=1),
+                    jnp.sum(gcoef * dxy, axis=1),
+                    jnp.sum(gcoef * dxz, axis=1)]
+        return out
 
     acc_subs = []
     for s in range(s_sub):
         fields = row_fields(s)
-        acc = [jnp.zeros((wg,), jnp.float32) for _ in range(5)]
+        acc = [jnp.zeros((wg,), rows_ref.dtype) for _ in range(nc)]
         for o in range(9):
             base, sh, _, _ = decode(i * s_sub + s, o)
             contrib = tile(fields, o, pl.multiple_of(base, 128), sh)
             acc = [a + c for a, c in zip(acc, contrib)]
         acc_subs.append(acc)
 
-    for c in range(5):
+    for c in range(nc):
         out_vmem[c, :] = jnp.concatenate([t[c] for t in acc_subs])
-    for _pad_row in range(5, 8):
-        out_vmem[_pad_row, :] = jnp.zeros((b,), jnp.float32)
+    for _pad_row in range(nc, 8):
+        out_vmem[_pad_row, :] = jnp.zeros((b,), rows_ref.dtype)
 
     for s in range(s_sub):
         if max_slices == 1:
@@ -654,7 +705,7 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
                     base_k, sh_k, _, lo_k = decode(_g, _o, _k)
                     contrib = tile(_fields, _o, pl.multiple_of(base_k, 128),
                                    sh_k, lane_lo=lo_k)
-                    for c in range(5):
+                    for c in range(nc):
                         out_vmem[c, _sl] = out_vmem[c, _sl] + contrib[c]
 
     ocopy = pltpu.make_async_copy(
@@ -664,10 +715,14 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
 
 
 def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                      interpret: bool = False, rows=None, prebuilt=None):
-    """(ax, ay, az, du, alpha_raw) for the sorted particles (or the
-    rows=(p_rows, offset) slice of them).  `prebuilt` as in
-    pallas_density_sums (must carry all FF rows)."""
+                      interpret: bool = False, rows=None, prebuilt=None,
+                      grav_split=None):
+    """(ax, ay, az, du, alpha_raw[, gx, gy, gz]) for the sorted particles
+    (or the rows=(p_rows, offset) slice of them).  `prebuilt` as in
+    pallas_density_sums (must carry all FF rows).  `grav_split` =
+    (r_s, r_cut) traced scalars turns on the fused short-range gravity
+    sums (cfg.grav_fuse_short; requires r_cut <= the SPH cell size — the
+    caller guards and counts violations)."""
     n = p.capacity
     B = cfg.sorted_block
     S = B // cfg.window_group
@@ -677,6 +732,12 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     packed_rows, packed_cols, prog, gvecs, n_rows = (
         prebuilt if prebuilt is not None
         else _row_slices(p, cfg, grid, rows, FF))
+    if grav_split is not None:
+        r_s, r_cut = grav_split
+        dt = packed_rows.dtype
+        packed_rows = (packed_rows
+                       .at[_IFRS].set(jnp.asarray(r_s, dt))
+                       .at[_IFRC].set(jnp.asarray(r_cut, dt)))
     G = n_rows // B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -688,9 +749,9 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, FF, B), jnp.float32),
-            pltpu.VMEM((2, 9, FF, WB), jnp.float32),
-            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.VMEM((2, FF, B), packed_cols.dtype),
+            pltpu.VMEM((2, 9, FF, WB), packed_cols.dtype),
+            pltpu.VMEM((8, B), packed_cols.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 9)),
             pltpu.SemaphoreType.DMA(()),
@@ -700,12 +761,16 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
         functools.partial(_force_kernel, window=W, window_big=WB, b=B,
                           s_sub=S, av_eps=cfg.av_eps,
                           beta_factor=cfg.beta_factor,
-                          exact=cfg.pallas_exact_windows),
-        out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
+                          exact=cfg.pallas_exact_windows,
+                          fuse_grav=grav_split is not None),
+        out_shape=jax.ShapeDtypeStruct((8, n_rows), packed_cols.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(prog, *gvecs, packed_rows, packed_cols)
+    if grav_split is not None:
+        return out[0], out[1], out[2], out[3], out[4], (out[5], out[6],
+                                                        out[7])
     return out[0], out[1], out[2], out[3], out[4]
 
 
@@ -753,7 +818,7 @@ def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
     r_cut2 = rows_scr[slot, _IRCUT, 0]
     r_cut2 = r_cut2 * r_cut2
     inv_2rs = 0.5 / r_s
-    inv_rs_sqrtpi = 1.0 / (r_s * jnp.sqrt(jnp.float32(PI)))
+    inv_rs_sqrtpi = 1.0 / (r_s * jnp.sqrt(r_s.dtype.type(PI)))
 
     def row_fields(s):
         sub = slice(s * wg, (s + 1) * wg)
@@ -761,7 +826,7 @@ def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         yi = rows_ref[_IY, sub]
         zi = rows_ref[_IZ, sub]
         inv_hi = 1.0 / rows_ref[_IH, sub]
-        ki = jax.lax.bitcast_convert_type(rows_ref[_IKEY, sub], jnp.int32)
+        ki = _float_to_key(rows_ref[_IKEY, sub])
         return xi, yi, zi, inv_hi, ki
 
     def tile(fields, o, base, sh, lane_lo=None):
@@ -771,7 +836,7 @@ def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         yw = col(_IY)
         zw = col(_IZ)
         mw = col(_IM)
-        kw = jax.lax.bitcast_convert_type(col(_IKEY), jnp.int32)
+        kw = _float_to_key(col(_IKEY))
 
         mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
                 & (kw[None, :] <= ki[:, None] + (PLANE_OFFSETS[o] + 1)))
@@ -804,7 +869,7 @@ def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
     acc_subs = []
     for s in range(s_sub):
         fields = row_fields(s)
-        acc = [jnp.zeros((wg,), jnp.float32) for _ in range(3)]
+        acc = [jnp.zeros((wg,), rows_ref.dtype) for _ in range(3)]
         for o in range(9):
             base, sh, _, _ = decode(i * s_sub + s, o)
             contrib = tile(fields, o, pl.multiple_of(base, 128), sh)
@@ -814,7 +879,7 @@ def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
     for c in range(3):
         out_vmem[c, :] = jnp.concatenate([t[c] for t in acc_subs])
     for _pad_row in range(3, 8):
-        out_vmem[_pad_row, :] = jnp.zeros((b,), jnp.float32)
+        out_vmem[_pad_row, :] = jnp.zeros((b,), rows_ref.dtype)
 
     for s in range(s_sub):
         if max_slices == 1:
@@ -870,9 +935,9 @@ def pallas_grav_short_sums(packed_rows, packed_cols, prog, gvecs,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, DF, B), jnp.float32),
-            pltpu.VMEM((2, 9, DF, WB), jnp.float32),
-            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.VMEM((2, DF, B), packed_cols.dtype),
+            pltpu.VMEM((2, 9, DF, WB), packed_cols.dtype),
+            pltpu.VMEM((8, B), packed_cols.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 9)),
             pltpu.SemaphoreType.DMA(()),
@@ -881,7 +946,7 @@ def pallas_grav_short_sums(packed_rows, packed_cols, prog, gvecs,
     out = pl.pallas_call(
         functools.partial(_grav_kernel, window=W, window_big=WB, b=B,
                           s_sub=S, exact=cfg.pallas_exact_windows),
-        out_shape=jax.ShapeDtypeStruct((8, n_rows), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, n_rows), packed_cols.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -921,7 +986,7 @@ def pallas_forces(p: Particles, cfg: SimConfig, grid: SortedGrid,
 
 
 def pallas_pair_eval(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                     interpret: bool = False):
+                     interpret: bool = False, grav_split=None):
     """Fused density -> EOS -> forces with ONE shared [FF, N] pack.
 
     The separate pallas_density/pallas_forces entry points each rebuild
@@ -933,7 +998,9 @@ def pallas_pair_eval(p: Particles, cfg: SimConfig, grid: SortedGrid,
 
     Single-chip only (the sharded path interleaves all_gathers between the
     passes — integrate._force_eval_sorted_sharded).  Returns
-    (p with rho/omega/pressure/cs, acc, du, dalpha).
+    (p with rho/omega/pressure/cs, acc, du, dalpha[, acc_grav]) — the
+    last only with grav_split=(r_s, r_cut): the fused short-range gravity
+    acceleration (cfg.grav_fuse_short).
     """
     from .eos import eos_update
 
@@ -951,15 +1018,21 @@ def pallas_pair_eval(p: Particles, cfg: SimConfig, grid: SortedGrid,
     pack = (pack.at[_IP].set(p.pressure).at[_IRHO].set(rho)
             .at[_IOM].set(p.omega).at[_ICS].set(p.cs))
     prebuilt = (pack, pack) + prebuilt[2:]
-    ax, ay, az, du, araw = pallas_force_sums(
-        p, cfg, grid, interpret=interpret, prebuilt=prebuilt)
+    out = pallas_force_sums(
+        p, cfg, grid, interpret=interpret, prebuilt=prebuilt,
+        grav_split=grav_split)
+    ax, ay, az, du, araw = out[:5]
     acc = jnp.stack([ax, ay, az], axis=-1)
     dalpha = pairs.alpha_rate(araw, rho, p.alpha, p.cs, p.h, cfg)
     alive = p.alive
-    return (p,
-            jnp.where(alive[:, None], acc, 0.0),
-            jnp.where(alive, du, 0.0),
-            jnp.where(alive, dalpha, 0.0))
+    res = (p,
+           jnp.where(alive[:, None], acc, 0.0),
+           jnp.where(alive, du, 0.0),
+           jnp.where(alive, dalpha, 0.0))
+    if grav_split is not None:
+        acc_g = jnp.stack(out[5], axis=-1)
+        res = res + (jnp.where(alive[:, None], acc_g, 0.0),)
+    return res
 
 
 __all__ = ["pallas_density", "pallas_forces", "pallas_density_sums",

@@ -216,6 +216,58 @@ def _fd4_gradient(phi, cell):
     return comps
 
 
+def pm_geometry(p: Particles, cfg: SimConfig, axis_name: str | None = None,
+                decomp: bool = False):
+    """(origin, cell, r_s): the PM mesh box over the live bounding cube and
+    the Gaussian split scale.  Deterministic in the particle state, so a
+    caller that needs r_s BEFORE the long-range solve (the fused
+    short-range kernel, integrate._force_eval_sorted) computes the exact
+    same value pm_long_range will."""
+    n = cfg.grav_grid
+    inf = jnp.asarray(jnp.inf, p.pos.dtype)
+    alive3 = p.alive[:, None]
+    lo = jnp.min(jnp.where(alive3, p.pos, inf), axis=0)
+    hi = jnp.max(jnp.where(alive3, p.pos, -inf), axis=0)
+    if decomp:
+        # Slab decomposition: `p` is this device's slab only; the mesh box
+        # must still bound the GLOBAL live set (identical on every device).
+        lo = jax.lax.pmin(lo, axis_name)
+        hi = jax.lax.pmax(hi, axis_name)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
+    # Keep all particles in mesh cells [1, n-2]: the CIC halo then never
+    # touches the FFT wrap plane at index 0 / n-1 of the padded box.
+    extent = jnp.maximum(jnp.max(hi - lo), 1.0e-6)
+    cell = extent / (n - 3)
+    origin = lo - 1.5 * cell
+    return origin, cell, cfg.grav_split_rs * cell
+
+
+def pm_long_range_held(p: Particles, cfg: SimConfig, pm_phase, r_s_held,
+                       rows=None, axis_name: str | None = None, kern_k=None):
+    """The far-field half of gas_gravity_pm_held alone (no short-range
+    pair pass) — for cfg.grav_fuse_short, where the short-range complement
+    is evaluated inside the SPH force kernel.  Returns (acc_long, r_s)."""
+    p_dep = p if rows is None else rows[0]
+    dtype = p.pos.dtype
+    if cfg.pm_every > 1 and p_dep.acc_ext is not None:
+        recompute = (pm_phase == 0) | (r_s_held <= 0.0)
+
+        def fresh(_):
+            acc_long, _, _, r_s = pm_long_range(p, cfg, rows=rows,
+                                                axis_name=axis_name,
+                                                kern_k=kern_k)
+            return acc_long, jnp.asarray(r_s, dtype)
+
+        def held(_):
+            return p_dep.acc_ext, jnp.asarray(r_s_held, dtype)
+
+        return jax.lax.cond(recompute, fresh, held, None)
+    acc_long, _, _, r_s = pm_long_range(p, cfg, rows=rows,
+                                        axis_name=axis_name, kern_k=kern_k)
+    return acc_long, jnp.asarray(r_s, dtype)
+
+
 def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
                   axis_name: str | None = None, kern_k=None,
                   decomp: bool = False):
@@ -237,24 +289,8 @@ def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
     """
     n = cfg.grav_grid
     npad = 2 * n  # isolated (vacuum) BCs: zero-pad the mass to 2x per axis
-
-    inf = jnp.asarray(jnp.inf, p.pos.dtype)
-    alive3 = p.alive[:, None]
-    lo = jnp.min(jnp.where(alive3, p.pos, inf), axis=0)
-    hi = jnp.max(jnp.where(alive3, p.pos, -inf), axis=0)
-    if decomp:
-        # Slab decomposition: `p` is this device's slab only; the mesh box
-        # must still bound the GLOBAL live set (identical on every device).
-        lo = jax.lax.pmin(lo, axis_name)
-        hi = jax.lax.pmax(hi, axis_name)
-    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
-    hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
-    # Keep all particles in mesh cells [1, n-2]: the CIC halo then never
-    # touches the FFT wrap plane at index 0 / n-1 of the padded box.
-    extent = jnp.maximum(jnp.max(hi - lo), 1.0e-6)
-    cell = extent / (n - 3)
-    origin = lo - 1.5 * cell
-    r_s = cfg.grav_split_rs * cell
+    origin, cell, r_s = pm_geometry(p, cfg, axis_name=axis_name,
+                                    decomp=decomp)
 
     p_dep = p if rows is None else rows[0]
     m = jnp.where(p_dep.alive, p_dep.mass, 0.0)
@@ -582,7 +618,8 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
             prog, suboff, nsl, covered = window_plan(gridlike, gcfg)
             gvecs = (suboff, nsl)
         n_over = jnp.sum(jnp.maximum(ends - covered, 0)).astype(jnp.int32)
-        key_f = jax.lax.bitcast_convert_type(key_s, jnp.float32)
+        from .pallas_pairs import _key_to_float
+        key_f = _key_to_float(key_s, xs.dtype)
         rs_col = jnp.full_like(xs, jnp.asarray(r_s, xs.dtype))
         rcut_col = jnp.full_like(xs, jnp.asarray(r_cut, xs.dtype))
         packed = jnp.stack([xs, ys, zs, ms, hs, key_f, rs_col, rcut_col])

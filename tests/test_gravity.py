@@ -150,3 +150,60 @@ def test_pallas_grav_short_matches_xla():
     assert int(nx) == 0 and int(np_over) == 0
     np.testing.assert_allclose(np.asarray(ap), np.asarray(ax),
                                rtol=2e-5, atol=1e-8)
+
+
+def test_grav_fuse_short_matches_separate_pass():
+    """cfg.grav_fuse_short: short-range gravity evaluated inside the SPH
+    force kernel == the standalone pm_short_range pass, when r_cut fits
+    the SPH stencil (fine mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from summersph_tpu.integrate import prime
+    from summersph_tpu.state import SimState, Sinks
+
+    from test_density_forces import lattice_particles
+
+    p = lattice_particles(nside=8, spacing=1.0, h=1.3, jitter=0.2)
+    p = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, p)
+    base = SimConfig(fixed_h=1.3, gravity="pm", grav_grid=32,
+                     neighbor_mode="sorted", use_pallas=True,
+                     pallas_interpret=True, sorted_block=128,
+                     window_blocks=5, pallas_window=640,
+                     pallas_fetch_window=768)
+    accs = {}
+    for fuse in (False, True):
+        cfg = base.with_(grav_fuse_short=fuse)
+        st = SimState.create(p, Sinks.zeros(2), dt=1e-4)
+        out = prime(st, cfg)
+        order = np.argsort(np.asarray(out.particles.pid))
+        accs[fuse] = np.asarray(out.particles.acc)[order]
+        assert int(out.stats_dict().get("grav_window_overflow", 0)) == 0
+    scale = np.abs(accs[False]).max()
+    np.testing.assert_allclose(accs[True], accs[False], atol=3e-6 * scale)
+
+
+def test_grav_fuse_short_flags_rcut_violation():
+    """A coarse mesh makes r_cut exceed the SPH cell: the fused path must
+    refuse silently wrong forces by reporting every row in the
+    grav_window_overflow slot."""
+    import jax
+    import jax.numpy as jnp
+
+    from summersph_tpu.integrate import force_eval
+    from summersph_tpu.state import Sinks
+
+    from test_density_forces import lattice_particles
+
+    p = lattice_particles(nside=8, spacing=1.0, h=0.35, jitter=0.1)
+    p = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a, p)
+    cfg = SimConfig(fixed_h=0.35, gravity="pm", grav_grid=8,
+                    grav_fuse_short=True,
+                    neighbor_mode="sorted", use_pallas=True,
+                    pallas_interpret=True, sorted_block=128,
+                    window_blocks=5, pallas_window=640,
+                    pallas_fetch_window=768)
+    _, _, (grid, grav_over, _) = force_eval(p, Sinks.zeros(2), cfg)
+    assert int(grav_over) > 0
