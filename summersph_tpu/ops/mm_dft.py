@@ -54,21 +54,28 @@ def dft_tables(n: int, npad: int, dtype_str: str):
       ci, si   [m, npad] inverse x/y, output pruned to the m = n + 4 rows
                          (arange(m) - 2) mod npad — the mesh crop plus the
                          fd4 stencil's wraparound ghost ring
+      ci_p, si_p [m_p, npad]  same with m padded up to a multiple of 8
+                         (the extra ghost rows are discarded) so the
+                         pencil-sharded solve can shard the output axis
+                         over 2/4/8 devices (poisson_pencil)
       czi, szi [m, H]    hermitian inverse z (conj-symmetry weights folded)
     """
     import numpy as np
 
     H = npad // 2 + 1
     m = n + 4
+    m_p = -(-m // 8) * 8
     j_in = np.arange(n, dtype=np.float64)
     k_half = np.arange(H, dtype=np.float64)
     k_full = np.arange(npad, dtype=np.float64)
     out_idx = (np.arange(m, dtype=np.float64) - 2.0) % npad
+    out_idx_p = (np.arange(m_p, dtype=np.float64) - 2.0) % npad
 
     tw = 2.0 * np.pi / npad
     ang_z = tw * k_half[:, None] * j_in[None, :]          # [H, n]
     ang_f = tw * k_full[:, None] * j_in[None, :]          # [npad, n]
     ang_i = tw * out_idx[:, None] * k_full[None, :]       # [m, npad]
+    ang_ip = tw * out_idx_p[:, None] * k_full[None, :]    # [m_p, npad]
     ang_zi = tw * out_idx[:, None] * k_half[None, :]      # [m, H]
     # hermitian fold: x[j] = (1/N) sum_k w_k (re_k cos - im_k sin),
     # w = 1 at k = 0 and k = npad/2, else 2 (the conjugate half)
@@ -81,6 +88,7 @@ def dft_tables(n: int, npad: int, dtype_str: str):
         "cz": np.cos(ang_z), "sz": np.sin(ang_z),
         "cf": np.cos(ang_f), "sf": np.sin(ang_f),
         "ci": np.cos(ang_i), "si": np.sin(ang_i),
+        "ci_p": np.cos(ang_ip), "si_p": np.sin(ang_ip),
         "czi": w[None, :] * np.cos(ang_zi),
         "szi": w[None, :] * np.sin(ang_zi),
     }
@@ -122,6 +130,79 @@ def irfft3_pruned(re, im, t):
     phi = (_EINSUM("abk,jk->abj", re, t["czi"])
            - _EINSUM("abk,jk->abj", im, t["szi"]))
     return phi / (npad * npad * npad)
+
+
+def poisson_pencil(rho_local, t, kern_k, scale, axis_name: str, n_dev: int):
+    """Sharded (pencil) Poisson solve for the slab decomposition
+    (VERDICT r3 item 6): phi_m = irfft3(kern_k * scale * rfft3(sum_d
+    rho_local_d)) with the transforms' heavy middle sharded over the
+    device axis instead of replicated.
+
+    Pipeline (per device, D = n_dev):
+      reduce_scatter x      rho [n,n,n] local deposits -> [n/D, n, n] owned
+      z, y transforms       local einsums -> [n/D, npad, H]
+      all_to_all x<->y      -> [n, npad/D, H] (the pencil transpose)
+      x transform + Green   local; kern_k sliced to this device's ky block
+      inverse x             local, output pruned to m_p ghost-crop rows
+      all_to_all back       -> [m_p/D, npad, H]
+      inverse y, z          local -> [m_p/D, m, m]
+      all_gather x          -> phi_m [m, m, m] replicated (the fd4 + CIC
+                            consumers read arbitrary x-planes)
+
+    Per-device transform FLOPs and spectrum residency scale 1/D (the
+    [npad, npad, H] intermediate — 539 MB at grid 256 — becomes
+    [npad, npad/D, H]); the boundary stages (deposit merge, phi gather)
+    stay O(n^3) bytes, same order as the replicated-mesh psum they
+    replace, so total comm is unchanged while compute/memory scale.
+    Requires D | npad and D | m_p (powers of two up to 8 with the padded
+    tables from dft_tables); callers fall back to the replicated solve
+    otherwise (ops.pm_gravity.pm_long_range).
+    """
+    ci, si = t["ci_p"], t["si_p"]          # [m_p, npad] padded ghost-crop
+    cz, sz = t["cz"], t["sz"]
+    cf, sf = t["cf"], t["sf"]
+    npad = cf.shape[0]
+    m_p = ci.shape[0]
+    m = t["ci"].shape[0]
+
+    rho_sh = jax.lax.psum_scatter(rho_local, axis_name,
+                                  scatter_dimension=0, tiled=True)
+    # z (real -> half spectrum), y: local on the x-slab
+    re = _EINSUM("abj,kj->abk", rho_sh, cz)
+    im = -_EINSUM("abj,kj->abk", rho_sh, sz)
+    re, im = (_EINSUM("ajb,kj->akb", re, cf) + _EINSUM("ajb,kj->akb", im, sf),
+              _EINSUM("ajb,kj->akb", im, cf) - _EINSUM("ajb,kj->akb", re, sf))
+    # pencil transpose: x-sharded -> ky-sharded
+    re = jax.lax.all_to_all(re, axis_name, split_axis=1, concat_axis=0,
+                            tiled=True)
+    im = jax.lax.all_to_all(im, axis_name, split_axis=1, concat_axis=0,
+                            tiled=True)
+    # x transform (full axis, local)
+    re, im = (_EINSUM("jab,kj->kab", re, cf) + _EINSUM("jab,kj->kab", im, sf),
+              _EINSUM("jab,kj->kab", im, cf) - _EINSUM("jab,kj->kab", re, sf))
+    # Green multiply on this device's ky block
+    d = jax.lax.axis_index(axis_name)
+    kk = jax.lax.dynamic_slice_in_dim(kern_k, d * (npad // n_dev),
+                                      npad // n_dev, axis=1) * scale
+    re = re * kk
+    im = im * kk
+    # inverse x: prune to the (D-padded) ghost-crop rows
+    re, im = (_EINSUM("jbc,aj->abc", re, ci) - _EINSUM("jbc,aj->abc", im, si),
+              _EINSUM("jbc,aj->abc", im, ci) + _EINSUM("jbc,aj->abc", re, si))
+    # transpose back: out-x-sharded, ky full
+    re = jax.lax.all_to_all(re, axis_name, split_axis=0, concat_axis=1,
+                            tiled=True)
+    im = jax.lax.all_to_all(im, axis_name, split_axis=0, concat_axis=1,
+                            tiled=True)
+    # inverse y (prune to m), hermitian inverse z
+    ciy, siy = t["ci"], t["si"]
+    re, im = (_EINSUM("ajc,bj->abc", re, ciy) - _EINSUM("ajc,bj->abc", im, siy),
+              _EINSUM("ajc,bj->abc", im, ciy) + _EINSUM("ajc,bj->abc", re, siy))
+    phi = (_EINSUM("abk,jk->abj", re, t["czi"])
+           - _EINSUM("abk,jk->abj", im, t["szi"]))
+    phi = phi / (npad * npad * npad)
+    phi = jax.lax.all_gather(phi, axis_name, tiled=True)   # [m_p, m, m]
+    return phi[:m]
 
 
 def fd4_gradient_pruned(phi_m, cell, n: int):

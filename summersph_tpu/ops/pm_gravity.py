@@ -295,6 +295,30 @@ def pm_long_range(p: Particles, cfg: SimConfig, rows=None,
     p_dep = p if rows is None else rows[0]
     m = jnp.where(p_dep.alive, p_dep.mass, 0.0)
     rho = _cic_deposit(p_dep.pos, m, origin, cell, n) / cell ** 3
+
+    # Pencil-sharded solve (slab decomposition + matmul transform): the
+    # deposit merge becomes a reduce_scatter, the transforms' heavy middle
+    # runs ky-sharded with two all_to_alls, and per-device transform FLOPs
+    # and spectrum residency scale 1/D (ops.mm_dft.poisson_pencil).
+    if (decomp and axis_name is not None and cfg.grav_fft == "matmul"
+            and isinstance(kern_k, dict)):
+        from .mm_dft import fd4_gradient_pruned, poisson_pencil
+        D = jax.lax.axis_size(axis_name)
+        m_p = kern_k["ci_p"].shape[0]
+        if cfg.grav_gradient != "fd":
+            raise ValueError("grav_fft='matmul' implements the 'fd' "
+                             "gradient only")
+        if n % D == 0 and m_p % D == 0:
+            phi_m = poisson_pencil(rho, kern_k, kern_k["kern_k"],
+                                   cell * cell, axis_name, D)
+            gx, gy, gz = fd4_gradient_pruned(phi_m, cell, n)
+            force = jnp.stack([gx, gy, gz], axis=-1)
+            acc = _cic_gather(force, p_dep.pos, origin, cell, n)
+            acc = jnp.where(p_dep.alive[:, None], acc.astype(p.pos.dtype),
+                            0.0)
+            return acc, origin, cell, r_s
+        # fall through: device count does not tile the mesh — replicated
+
     if axis_name is not None:
         rho = jax.lax.psum(rho, axis_name)
 
