@@ -75,7 +75,12 @@ def run_config(n, steps, gravity, use_pallas=True, grav_grid=None,
     # with N at fixed mesh/box (rho * r_cut^3) and cubically with mesh cell
     # width, so size the Pallas gravity windows by N and mesh (the in-step
     # grav_window_overflow counter guards drops).
-    grav_grid = grav_grid or int(os.environ.get("BENCH_PM_GRID", 128))
+    # grid=256 default (round 4): the matmul-DFT Poisson solve makes the
+    # 512^3-padded transform 26.5 ms, and at this mesh r_cut fits the SPH
+    # stencil so the short-range complement fuses into the force kernel
+    # (grav_fuse_short) - measured 4.74e6 (pm_every=4) / 5.36e6
+    # (pm_every=8) vs 2.41e6 at the round-3 grid=128 separate-pass config.
+    grav_grid = grav_grid or int(os.environ.get("BENCH_PM_GRID", 256))
     if grav_grid >= 256:
         gw = 256 if n <= 524288 else 384
     else:
@@ -248,7 +253,7 @@ def main():
         # (n, gravity, pm_every): pm_every=1 is the literal per-step
         # reference schedule; pm_every=4 is the RESPA far-field subcycle
         # (SimConfig.pm_every — drift-bounded by tests/test_pm_every.py).
-        for sn, sg, spe in ((n, "pm", 1), (n, "pm", 4),
+        for sn, sg, spe in ((n, "pm", 1), (n, "pm", 4), (n, "pm", 8),
                             (131072, "none", 1)):
             if (sn, sg) == (n, gravity):
                 continue

@@ -107,6 +107,12 @@ def build():
         # recycles slots physically instead of suppressing creation.
         sink_merge_factor=1.0,
         kahan_u=True,  # f64-quality u ledger over ~1e4 steps (f32 state)
+        # Far-field subcycling: the mesh solve every 4th step (drift
+        # bounded by tests/test_pm_every.py at k=4 and k=8; phases are
+        # pinned to the 16-step segments so every resume recomputes).
+        # The short-range pair complement — what sink formation actually
+        # resolves — stays per-step.
+        pm_every=1 if SMOKE else 4,
         dt_init=1e-4, dt_min=1e-7, dt_max=5e-3,
         end_time=T_END,
     )

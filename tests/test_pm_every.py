@@ -139,3 +139,20 @@ def test_sharded_held_matches_single_device():
         rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(float(out.pm_r_s), float(ref.pm_r_s),
                                rtol=1e-6)
+
+
+def test_held_steps_bounded_drift_k8():
+    """pm_every=8 (the round-4 bench default at grid>=256): holding the
+    far field 7 of 8 steps stays inside the same drift class as k=4 —
+    the far field varies on the dynamical time, hundreds of Courant
+    steps, so k=8 costs O(k dt) force staleness like k=4 does."""
+    s1, cfg1 = _cloud(pm_every=1)
+    s8, cfg8 = _cloud(pm_every=8)
+    o1 = run_steps(s1, cfg1, 16)
+    o8 = run_steps(s8, cfg8, 16)
+    scale = float(jnp.max(jnp.abs(o1.particles.pos)))
+    dpos = float(jnp.max(jnp.abs(o1.particles.pos - o8.particles.pos)))
+    assert dpos < 2e-4 * scale, (dpos, scale)
+    np.testing.assert_allclose(np.asarray(o1.particles.vel),
+                               np.asarray(o8.particles.vel),
+                               rtol=1e-2, atol=1e-6)
