@@ -150,11 +150,13 @@ def run_config(name, smoke, seg_steps=64, max_wall=1800.0):
                and time.time() - t_start < max_wall):
             t0 = time.time()
             state = run_steps(state, cfg, seg_steps)
-            # measure() forces the host transfer; only then is the segment
-            # actually done (dispatch is async — timing before the sync
-            # logged wall=0.0 for every segment of the first evidence pass)
-            d = measure(state)
+            # force a real device sync before reading the clock: dispatch
+            # is async and measure() is lazy too — a 4-byte host transfer
+            # is the one reliable barrier on this backend
+            # (docs/PERF_NOTES.md caveat 1)
+            float(np.asarray(state.t))
             wall = time.time() - t0
+            d = measure(state)
             p, s = state.particles, state.sinks
             n_sinks = int(jnp.sum(s.alive & (s.mass > 0)))
             mom = np.asarray(d["momentum"])
