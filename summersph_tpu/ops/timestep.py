@@ -39,8 +39,11 @@ def _safe_ratio(num, den):
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), jnp.inf)
 
 
-def next_timestep(p: Particles, dt, cfg: SimConfig,
-                  axis_name: str | None = None):
+def dt_candidates(p: Particles, cfg: SimConfig):
+    """[N] per-particle dt candidates (the reference's four criteria,
+    scaled): the min over live particles is the global controller's input
+    (next_timestep); the per-particle values assign block-timestep rungs
+    (integrate.assign_rungs, cfg.dt_bins)."""
     v2 = jnp.sum(p.vel * p.vel, axis=-1)
     a2 = jnp.sum(p.acc * p.acc, axis=-1)
 
@@ -50,7 +53,12 @@ def next_timestep(p: Particles, dt, cfg: SimConfig,
     t_cfl = _safe_ratio(p.h, 2.2 * p.cs)
 
     cand = jnp.minimum(jnp.minimum(t_acc, t_u), jnp.minimum(t_h, t_cfl))
-    cand = jnp.where(p.alive, cand, jnp.inf)
+    return jnp.where(p.alive, cand, jnp.inf) * cfg.timestep_scale
+
+
+def next_timestep(p: Particles, dt, cfg: SimConfig,
+                  axis_name: str | None = None):
+    cand = dt_candidates(p, cfg) / cfg.timestep_scale
     cand_min = jnp.min(cand)
     if axis_name is not None:
         # Global timestep across device shards (SURVEY.md §5: psum/pmin for
@@ -70,4 +78,4 @@ def next_timestep(p: Particles, dt, cfg: SimConfig,
     return jnp.maximum(jnp.minimum(shrunk, dt_cand), cfg.dt_min)
 
 
-__all__ = ["next_timestep"]
+__all__ = ["next_timestep", "dt_candidates"]
