@@ -253,7 +253,9 @@ def main():
         # (n, gravity, pm_every): pm_every=1 is the literal per-step
         # reference schedule; pm_every=4 is the RESPA far-field subcycle
         # (SimConfig.pm_every — drift-bounded by tests/test_pm_every.py).
-        for sn, sg, spe in ((n, "pm", 1), (n, "pm", 4), (n, "pm", 8),
+        # warm/best configs first: a cold compile on a later entry only
+        # costs that entry, never the headline sweep cells
+        for sn, sg, spe in ((n, "pm", 4), (n, "pm", 8), (n, "pm", 1),
                             (131072, "none", 1)):
             if (sn, sg) == (n, gravity):
                 continue
