@@ -58,6 +58,15 @@ class SimConfig:
     # module docstring); False restores the literal reference hysteresis
     # (SUMMER_SPH.f90:855-859), which cannot track a collapse runaway.
     dt_bound_candidate: bool = True
+    # Hierarchical block timesteps (blockstep.py): dt_bins power-of-two
+    # rungs below the base step, dt_r = dt_base / 2^r; only the particles
+    # closing a rung boundary get force re-evaluations each substep (the
+    # Pallas kernels skip inactive row blocks).  1 = global timestep (the
+    # reference's scheme, SUMMER_SPH.f90:831-860 — dt_bins > 1 is a
+    # documented deviation for collapse-class runs whose dt ranges span
+    # 1000x; see docs/ROUND4.md).  Requires the single-chip sorted engine
+    # with reuse_forces.
+    dt_bins: int = 1
 
     # --- output cadence: n_saves evenly spaced checkpoints over end_time
     n_saves: int = 1000                 # SUMMER_SPH.f90:868-874

@@ -625,7 +625,10 @@ def init_carries(state: SimState, cfg: SimConfig) -> SimState:
         p = p.replace(u_c=jnp.zeros_like(p.u))
     if not cfg.kahan_u and p.u_c is not None:
         p = p.replace(u_c=None)
-    pm_on = cfg.pm_every > 1 and cfg.gravity in ("bh", "pm", "treepm")
+    # Block timesteps also hold the far field across the base step's
+    # substeps, so they carry acc_ext even at pm_every == 1 (blockstep.py).
+    pm_on = ((cfg.pm_every > 1 or cfg.dt_bins > 1)
+             and cfg.gravity in ("bh", "pm", "treepm"))
     pm_r_s = state.pm_r_s
     if pm_on and p.acc_ext is None:
         p = p.replace(acc_ext=jnp.zeros_like(p.pos))
@@ -666,8 +669,13 @@ def run_steps(state: SimState, cfg: SimConfig, n_steps: int) -> SimState:
 @partial(jax.jit, static_argnames=("cfg", "n_steps"))
 def _run_steps_jit(state: SimState, kern_k, cfg: SimConfig,
                    n_steps: int) -> SimState:
+    if cfg.dt_bins > 1:
+        from .blockstep import step_binned as _step
+    else:
+        _step = step
+
     def body(st, phase):
-        out = step(st, cfg, kern_k=kern_k, pm_phase=phase)
+        out = _step(st, cfg, kern_k=kern_k, pm_phase=phase)
         out = out.replace(stats=jnp.maximum(out.stats, st.stats))
         return out, None
 

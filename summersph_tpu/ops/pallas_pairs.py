@@ -325,31 +325,81 @@ def _max_slices(window: int, window_big: int, exact: bool) -> int:
     return min(window_big // window, 8)
 
 
-def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
-                    exact: bool):
+def _gate_plan(refs, gated: bool):
+    """(grefs, blk, blk_next, first_blk, issue0, issue_next, run, hbm_refs):
+    the shared program-indirection prologue of the three pair kernels.
+
+    Ungated (the production single-rate path): program i owns row block i
+    and every program runs — blk == i, run == None.  Gated (block
+    timesteps, blockstep.py): the LAST TWO scalar-prefetch refs are a
+    [G] worklist of row-block ids (active blocks compacted to the front in
+    ascending order) and its [1] count; program i owns block worklist[i]
+    and only the first `count` programs do any DMA or compute — the
+    substep's cost scales with the ACTIVE blocks, not N.  Output blocks not
+    on the worklist are left unwritten (undefined) — callers must merge
+    results through the activity mask.
+    """
     starts_ref = refs[0]
-    grefs = refs[1:len(refs) - 9]
+    ns = len(refs) - 9
+    i = pl.program_id(0)
+    ng = pl.num_programs(0)
+    if gated:
+        grefs = refs[1:ns - 2]
+        work_ref, nwork_ref = refs[ns - 2], refs[ns - 1]
+        cnt = nwork_ref[0]
+        blk = work_ref[i]
+        blk_next = work_ref[jnp.minimum(i + 1, ng - 1)]
+        first = work_ref[0]
+        issue0 = (i == 0) & (cnt > 0)
+        issue_next = i + 1 < cnt
+        run = i < cnt
+    else:
+        grefs = refs[1:ns]
+        blk, blk_next, first = i, i + 1, 0
+        issue0 = i == 0
+        issue_next = i + 1 < ng
+        run = None
+    return starts_ref, grefs, blk, blk_next, first, issue0, issue_next, run
+
+
+def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
+                    exact: bool, gated: bool):
+    (starts_ref, grefs, blk, blk_next, first, issue0, issue_next,
+     run) = _gate_plan(refs, gated)
     (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
      wsems, osem) = refs[len(refs) - 9:]
     decode = _decode_plan(grefs, exact, window_big, window)
     # Double-buffered across grid programs: program i issues i+1's DMAs
     # before computing on i's slot, hiding the (10 copies) DMA latency.
     i = pl.program_id(0)
-    ng = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
     nslot = jax.lax.rem(i + 1, jnp.int32(2))
     args = (starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr, rsems, wsems)
 
-    @pl.when(i == 0)
+    @pl.when(issue0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b, nf=DF)
-
-    @pl.when(i + 1 < ng)
-    def _():
-        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b,
+        _issue_window_dmas(*args, first, 0, window_big=window_big, b=b,
                            nf=DF)
 
-    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=DF)
+    @pl.when(issue_next)
+    def _():
+        _issue_window_dmas(*args, blk_next, nslot, window_big=window_big,
+                           b=b, nf=DF)
+
+    if run is not None:
+        pl.when(run)(lambda: _density_body(
+            args, blk, slot, refs, decode, window=window,
+            window_big=window_big, b=b, s_sub=s_sub, exact=exact))
+    else:
+        _density_body(args, blk, slot, refs, decode, window=window,
+                      window_big=window_big, b=b, s_sub=s_sub, exact=exact)
+
+
+def _density_body(args, blk, slot, refs, decode, *, window: int,
+                  window_big: int, b: int, s_sub: int, exact: bool):
+    (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
+     wsems, osem) = refs[len(refs) - 9:]
+    _wait_window_dmas(*args, blk, slot, window_big=window_big, b=b, nf=DF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
     max_slices = _max_slices(window, window_big, exact)
@@ -409,7 +459,7 @@ def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         rho = jnp.zeros((wg,), rows_ref.dtype)
         om = jnp.zeros((wg,), rows_ref.dtype)
         for o in range(9):
-            base, sh, _, _ = decode(i * s_sub + s, o)
+            base, sh, _, _ = decode(blk * s_sub + s, o)
             crho, com = tile(fields, o, pl.multiple_of(base, 128), sh)
             rho = rho + crho
             om = om + com
@@ -429,10 +479,10 @@ def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         fields = row_fields(s)
         sl = slice(s * wg, (s + 1) * wg)
         for o in range(9):
-            _, _, nsl_m1, _ = decode(i * s_sub + s, o)
+            _, _, nsl_m1, _ = decode(blk * s_sub + s, o)
             for k in range(1, max_slices):
                 @pl.when(k <= nsl_m1)
-                def _(_o=o, _k=k, _g=i * s_sub + s, _sl=sl,
+                def _(_o=o, _k=k, _g=blk * s_sub + s, _sl=sl,
                       _fields=fields):
                     base_k, sh_k, _, lo_k = decode(_g, _o, _k)
                     crho, com = tile(_fields, _o,
@@ -442,7 +492,8 @@ def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
                     out_vmem[1, _sl] = out_vmem[1, _sl] + com
 
     ocopy = pltpu.make_async_copy(
-        out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
+        out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(blk * b, 128), b)],
+        osem)
     ocopy.start()
     ocopy.wait()
 
@@ -483,14 +534,19 @@ def _row_slices(p: Particles, cfg: SimConfig, grid: SortedGrid, rows,
 
 
 def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                        interpret: bool = False, rows=None, prebuilt=None):
+                        interpret: bool = False, rows=None, prebuilt=None,
+                        active=None):
     """(rho, omega_raw) for the sorted particles via the Pallas kernel.
 
     With rows=(p_rows, offset), sums are computed for that contiguous slice
     of the sorted order only (columns stay the full set `p`).  `prebuilt`
     short-circuits pack construction: (packed_rows, packed_cols, prog,
     suboff, nsl, n_rows) from a previous launch this step (packs may carry
-    more than DF rows — the kernel DMAs only the first DF)."""
+    more than DF rows — the kernel DMAs only the first DF).  `active` =
+    (worklist [G] int32, count [1] int32) gates the kernel to the listed
+    row blocks (block timesteps, blockstep.py); rows outside the worklist
+    come back UNDEFINED and the caller must merge through its activity
+    mask."""
     n = p.capacity
     B = cfg.sorted_block
     S = B // cfg.window_group
@@ -501,11 +557,12 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
         prebuilt if prebuilt is not None
         else _row_slices(p, cfg, grid, rows, DF))
     G = n_rows // B
+    gate = () if active is None else tuple(active)
     # scalar operands are 1-D: SMEM pads the minor dim of 2-D scalar
     # operands to 128 lanes
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1 + len(gvecs),
+        num_scalar_prefetch=1 + len(gvecs) + len(gate),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -523,18 +580,19 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     )
     out = pl.pallas_call(
         functools.partial(_density_kernel, window=W, window_big=WB, b=B,
-                          s_sub=S, exact=cfg.pallas_exact_windows),
+                          s_sub=S, exact=cfg.pallas_exact_windows,
+                          gated=active is not None),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), packed_cols.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prog, *gvecs, packed_rows, packed_cols)
+    )(prog, *gvecs, *gate, packed_rows, packed_cols)
     return out[0], out[1]
 
 
 def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
                   av_eps: float, beta_factor: float, exact: bool,
-                  fuse_grav: bool):
+                  fuse_grav: bool, gated: bool):
     """SPH pressure+AV pair force; with fuse_grav also the short-range
     (TreePM complement) gravity sums over the SAME windows and pair
     geometry — valid when r_cut <= the SPH cell size, so the +-1-cell
@@ -543,27 +601,42 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
     VPU ops per lane instead of a second sort + kernel + window pass.
     The traced split scalars ride the rows pack's two pad fields
     (_IFRS/_IFRC), exactly like the standalone gravity kernel's."""
-    starts_ref = refs[0]
-    grefs = refs[1:len(refs) - 9]
+    (starts_ref, grefs, blk, blk_next, first, issue0, issue_next,
+     run) = _gate_plan(refs, gated)
     (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
      wsems, osem) = refs[len(refs) - 9:]
     decode = _decode_plan(grefs, exact, window_big, window)
     i = pl.program_id(0)
-    ng = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
     nslot = jax.lax.rem(i + 1, jnp.int32(2))
     args = (starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr, rsems, wsems)
 
-    @pl.when(i == 0)
+    @pl.when(issue0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b, nf=FF)
-
-    @pl.when(i + 1 < ng)
-    def _():
-        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b,
+        _issue_window_dmas(*args, first, 0, window_big=window_big, b=b,
                            nf=FF)
 
-    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=FF)
+    @pl.when(issue_next)
+    def _():
+        _issue_window_dmas(*args, blk_next, nslot, window_big=window_big,
+                           b=b, nf=FF)
+
+    kw = dict(window=window, window_big=window_big, b=b, s_sub=s_sub,
+              av_eps=av_eps, beta_factor=beta_factor, exact=exact,
+              fuse_grav=fuse_grav)
+    if run is not None:
+        pl.when(run)(lambda: _force_body(args, blk, slot, refs, decode,
+                                         **kw))
+    else:
+        _force_body(args, blk, slot, refs, decode, **kw)
+
+
+def _force_body(args, blk, slot, refs, decode, *, window: int,
+                window_big: int, b: int, s_sub: int, av_eps: float,
+                beta_factor: float, exact: bool, fuse_grav: bool):
+    (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
+     wsems, osem) = refs[len(refs) - 9:]
+    _wait_window_dmas(*args, blk, slot, window_big=window_big, b=b, nf=FF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
     max_slices = _max_slices(window, window_big, exact)
@@ -681,7 +754,7 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         fields = row_fields(s)
         acc = [jnp.zeros((wg,), rows_ref.dtype) for _ in range(nc)]
         for o in range(9):
-            base, sh, _, _ = decode(i * s_sub + s, o)
+            base, sh, _, _ = decode(blk * s_sub + s, o)
             contrib = tile(fields, o, pl.multiple_of(base, 128), sh)
             acc = [a + c for a, c in zip(acc, contrib)]
         acc_subs.append(acc)
@@ -697,10 +770,10 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         fields = row_fields(s)
         sl = slice(s * wg, (s + 1) * wg)
         for o in range(9):
-            _, _, nsl_m1, _ = decode(i * s_sub + s, o)
+            _, _, nsl_m1, _ = decode(blk * s_sub + s, o)
             for k in range(1, max_slices):
                 @pl.when(k <= nsl_m1)
-                def _(_o=o, _k=k, _g=i * s_sub + s, _sl=sl,
+                def _(_o=o, _k=k, _g=blk * s_sub + s, _sl=sl,
                       _fields=fields):
                     base_k, sh_k, _, lo_k = decode(_g, _o, _k)
                     contrib = tile(_fields, _o, pl.multiple_of(base_k, 128),
@@ -709,20 +782,22 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
                         out_vmem[c, _sl] = out_vmem[c, _sl] + contrib[c]
 
     ocopy = pltpu.make_async_copy(
-        out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
+        out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(blk * b, 128), b)],
+        osem)
     ocopy.start()
     ocopy.wait()
 
 
 def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
                       interpret: bool = False, rows=None, prebuilt=None,
-                      grav_split=None):
+                      grav_split=None, active=None):
     """(ax, ay, az, du, alpha_raw[, gx, gy, gz]) for the sorted particles
     (or the rows=(p_rows, offset) slice of them).  `prebuilt` as in
     pallas_density_sums (must carry all FF rows).  `grav_split` =
     (r_s, r_cut) traced scalars turns on the fused short-range gravity
     sums (cfg.grav_fuse_short; requires r_cut <= the SPH cell size — the
-    caller guards and counts violations)."""
+    caller guards and counts violations).  `active` gates row blocks as in
+    pallas_density_sums."""
     n = p.capacity
     B = cfg.sorted_block
     S = B // cfg.window_group
@@ -739,9 +814,10 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
                        .at[_IFRS].set(jnp.asarray(r_s, dt))
                        .at[_IFRC].set(jnp.asarray(r_cut, dt)))
     G = n_rows // B
+    gate = () if active is None else tuple(active)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1 + len(gvecs),
+        num_scalar_prefetch=1 + len(gvecs) + len(gate),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -762,12 +838,13 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
                           s_sub=S, av_eps=cfg.av_eps,
                           beta_factor=cfg.beta_factor,
                           exact=cfg.pallas_exact_windows,
-                          fuse_grav=grav_split is not None),
+                          fuse_grav=grav_split is not None,
+                          gated=active is not None),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), packed_cols.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prog, *gvecs, packed_rows, packed_cols)
+    )(prog, *gvecs, *gate, packed_rows, packed_cols)
     if grav_split is not None:
         return out[0], out[1], out[2], out[3], out[4], (out[5], out[6],
                                                         out[7])
@@ -775,7 +852,7 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
 
 
 def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
-                 exact: bool):
+                 exact: bool, gated: bool):
     """Short-range (TreePM complement) gravity pair sums.
 
     Same two-level window structure as the SPH kernels; pair math is the
@@ -785,31 +862,44 @@ def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
     step) ride the two pad fields of the rows pack — Mosaic cannot bitcast
     SMEM scalars.
     """
-    from .kernels import grav_shape
-    from .pm_gravity import erf_approx
-    from ..utils.units import G
-
-    starts_ref = refs[0]
-    grefs = refs[1:len(refs) - 9]
+    (starts_ref, grefs, blk, blk_next, first, issue0, issue_next,
+     run) = _gate_plan(refs, gated)
     (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
      wsems, osem) = refs[len(refs) - 9:]
     decode = _decode_plan(grefs, exact, window_big, window)
     i = pl.program_id(0)
-    ng = pl.num_programs(0)
     slot = jax.lax.rem(i, jnp.int32(2))
     nslot = jax.lax.rem(i + 1, jnp.int32(2))
     args = (starts_ref, rows_hbm, cols_hbm, rows_scr, win_scr, rsems, wsems)
 
-    @pl.when(i == 0)
+    @pl.when(issue0)
     def _():
-        _issue_window_dmas(*args, 0, 0, window_big=window_big, b=b, nf=DF)
-
-    @pl.when(i + 1 < ng)
-    def _():
-        _issue_window_dmas(*args, i + 1, nslot, window_big=window_big, b=b,
+        _issue_window_dmas(*args, first, 0, window_big=window_big, b=b,
                            nf=DF)
 
-    _wait_window_dmas(*args, i, slot, window_big=window_big, b=b, nf=DF)
+    @pl.when(issue_next)
+    def _():
+        _issue_window_dmas(*args, blk_next, nslot, window_big=window_big,
+                           b=b, nf=DF)
+
+    kw = dict(window=window, window_big=window_big, b=b, s_sub=s_sub,
+              exact=exact)
+    if run is not None:
+        pl.when(run)(lambda: _grav_body(args, blk, slot, refs, decode,
+                                        **kw))
+    else:
+        _grav_body(args, blk, slot, refs, decode, **kw)
+
+
+def _grav_body(args, blk, slot, refs, decode, *, window: int,
+               window_big: int, b: int, s_sub: int, exact: bool):
+    from .kernels import grav_shape
+    from .pm_gravity import erf_approx
+    from ..utils.units import G
+
+    (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
+     wsems, osem) = refs[len(refs) - 9:]
+    _wait_window_dmas(*args, blk, slot, window_big=window_big, b=b, nf=DF)
     rows_ref = rows_scr.at[slot]
     wg = b // s_sub
     max_slices = _max_slices(window, window_big, exact)
@@ -871,7 +961,7 @@ def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         fields = row_fields(s)
         acc = [jnp.zeros((wg,), rows_ref.dtype) for _ in range(3)]
         for o in range(9):
-            base, sh, _, _ = decode(i * s_sub + s, o)
+            base, sh, _, _ = decode(blk * s_sub + s, o)
             contrib = tile(fields, o, pl.multiple_of(base, 128), sh)
             acc = [a + c for a, c in zip(acc, contrib)]
         acc_subs.append(acc)
@@ -887,10 +977,10 @@ def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
         fields = row_fields(s)
         sl = slice(s * wg, (s + 1) * wg)
         for o in range(9):
-            _, _, nsl_m1, _ = decode(i * s_sub + s, o)
+            _, _, nsl_m1, _ = decode(blk * s_sub + s, o)
             for k in range(1, max_slices):
                 @pl.when(k <= nsl_m1)
-                def _(_o=o, _k=k, _g=i * s_sub + s, _sl=sl,
+                def _(_o=o, _k=k, _g=blk * s_sub + s, _sl=sl,
                       _fields=fields):
                     base_k, sh_k, _, lo_k = decode(_g, _o, _k)
                     contrib = tile(_fields, _o, pl.multiple_of(base_k, 128),
@@ -899,13 +989,15 @@ def _grav_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
                         out_vmem[c, _sl] = out_vmem[c, _sl] + contrib[c]
 
     ocopy = pltpu.make_async_copy(
-        out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(i * b, 128), b)], osem)
+        out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(blk * b, 128), b)],
+        osem)
     ocopy.start()
     ocopy.wait()
 
 
 def pallas_grav_short_sums(packed_rows, packed_cols, prog, gvecs,
-                           cfg: SimConfig, interpret: bool = False):
+                           cfg: SimConfig, interpret: bool = False,
+                           active=None):
     """(ax, ay, az) short-range gravity sums over pre-packed [8, N] arrays.
 
     `packed_rows`/`packed_cols` use the gravity pack layout
@@ -914,6 +1006,8 @@ def pallas_grav_short_sums(packed_rows, packed_cols, prog, gvecs,
     window plan for the gravity grid with cfg.grav_pallas_window /
     cfg.grav_pallas_fetch as the window pair (ops.pm_gravity builds both;
     gvecs is the mode-dependent per-group scalar tuple, see _plan).
+    `active` gates row blocks as in pallas_density_sums (worklist in the
+    GRAVITY-sorted program space).
     """
     B = cfg.sorted_block
     S = B // cfg.window_group
@@ -925,9 +1019,10 @@ def pallas_grav_short_sums(packed_rows, packed_cols, prog, gvecs,
     if cfg.pallas_exact_windows:
         W = LANES
     G = n_rows // B
+    gate = () if active is None else tuple(active)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1 + len(gvecs),
+        num_scalar_prefetch=1 + len(gvecs) + len(gate),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -945,28 +1040,36 @@ def pallas_grav_short_sums(packed_rows, packed_cols, prog, gvecs,
     )
     out = pl.pallas_call(
         functools.partial(_grav_kernel, window=W, window_big=WB, b=B,
-                          s_sub=S, exact=cfg.pallas_exact_windows),
+                          s_sub=S, exact=cfg.pallas_exact_windows,
+                          gated=active is not None),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), packed_cols.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(prog, *gvecs, packed_rows, packed_cols)
+    )(prog, *gvecs, *gate, packed_rows, packed_cols)
     return out[0], out[1], out[2]
 
 
 def pallas_density(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                   interpret: bool = False, rows=None) -> Particles:
+                   interpret: bool = False, rows=None,
+                   active=None, act_mask=None) -> Particles:
     """Drop-in for sorted_density on the Pallas path.
 
     Returns the updated rows particle set: `p` itself, or `rows[0]` when a
-    (p_rows, offset) slice is given."""
+    (p_rows, offset) slice is given.  With active=(worklist, count) +
+    act_mask [N] bool (block timesteps): only the listed row blocks are
+    computed, and rows outside `act_mask` keep their incoming rho/omega
+    (the gated kernel leaves their sums undefined)."""
     rho, omega_raw = pallas_density_sums(p, cfg, grid, interpret=interpret,
-                                         rows=rows)
+                                         rows=rows, active=active)
     tgt = p if rows is None else rows[0]
     rho, omega = pairs.finalize_density(rho, omega_raw, tgt.h, tgt.alive,
                                         tgt.mass)
     if cfg.fixed_h is not None:
         omega = jnp.ones_like(omega)
+    if act_mask is not None:
+        rho = jnp.where(act_mask, rho, tgt.rho)
+        omega = jnp.where(act_mask, omega, tgt.omega)
     return tgt.replace(rho=rho, omega=omega)
 
 
@@ -986,7 +1089,8 @@ def pallas_forces(p: Particles, cfg: SimConfig, grid: SortedGrid,
 
 
 def pallas_pair_eval(p: Particles, cfg: SimConfig, grid: SortedGrid,
-                     interpret: bool = False, grav_split=None):
+                     interpret: bool = False, grav_split=None,
+                     active=None, act_mask=None):
     """Fused density -> EOS -> forces with ONE shared [FF, N] pack.
 
     The separate pallas_density/pallas_forces entry points each rebuild
@@ -1001,17 +1105,30 @@ def pallas_pair_eval(p: Particles, cfg: SimConfig, grid: SortedGrid,
     (p with rho/omega/pressure/cs, acc, du, dalpha[, acc_grav]) — the
     last only with grav_split=(r_s, r_cut): the fused short-range gravity
     acceleration (cfg.grav_fuse_short).
+
+    Block-timestep gating (active=(worklist, count) + act_mask, see
+    pallas_density_sums): only the listed row blocks run; rows outside
+    `act_mask` keep their incoming (stale) rho/omega from `p` — which the
+    substep sort carried (sort_particles carry_derived) — and their
+    returned acc/du/dalpha are ZERO, NOT undefined (masked here), so a
+    caller merging through a superset mask stays safe.  EOS runs on the
+    merged full array: for inactive rows P(stale rho, unchanged u) is
+    bit-identical to their stale pressure, so the force pack's columns are
+    exactly the stale values their active neighbours should see.
     """
     from .eos import eos_update
 
     prebuilt = _row_slices(p, cfg, grid, None, FF)
     pack = prebuilt[0]
     rho_raw, omega_raw = pallas_density_sums(
-        p, cfg, grid, interpret=interpret, prebuilt=prebuilt)
+        p, cfg, grid, interpret=interpret, prebuilt=prebuilt, active=active)
     rho, omega = pairs.finalize_density(rho_raw, omega_raw, p.h, p.alive,
                                         p.mass)
     if cfg.fixed_h is not None:
         omega = jnp.ones_like(omega)
+    if act_mask is not None:
+        rho = jnp.where(act_mask, rho, p.rho)
+        omega = jnp.where(act_mask, omega, p.omega)
     p = p.replace(rho=rho, omega=omega)
     p = eos_update(p, cfg)
 
@@ -1020,11 +1137,11 @@ def pallas_pair_eval(p: Particles, cfg: SimConfig, grid: SortedGrid,
     prebuilt = (pack, pack) + prebuilt[2:]
     out = pallas_force_sums(
         p, cfg, grid, interpret=interpret, prebuilt=prebuilt,
-        grav_split=grav_split)
+        grav_split=grav_split, active=active)
     ax, ay, az, du, araw = out[:5]
     acc = jnp.stack([ax, ay, az], axis=-1)
     dalpha = pairs.alpha_rate(araw, rho, p.alpha, p.cs, p.h, cfg)
-    alive = p.alive
+    alive = p.alive if act_mask is None else (p.alive & act_mask)
     res = (p,
            jnp.where(alive[:, None], acc, 0.0),
            jnp.where(alive, du, 0.0),

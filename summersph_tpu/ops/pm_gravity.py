@@ -250,7 +250,10 @@ def pm_long_range_held(p: Particles, cfg: SimConfig, pm_phase, r_s_held,
     is evaluated inside the SPH force kernel.  Returns (acc_long, r_s)."""
     p_dep = p if rows is None else rows[0]
     dtype = p.pos.dtype
-    if cfg.pm_every > 1 and p_dep.acc_ext is not None:
+    # acc_ext exists whenever a held far field is carried: cfg.pm_every > 1
+    # OR block timesteps (cfg.dt_bins > 1, where the mesh refreshes at most
+    # once per BASE step and every substep reuses it — blockstep.py).
+    if p_dep.acc_ext is not None:
         recompute = (pm_phase == 0) | (r_s_held <= 0.0)
 
         def fresh(_):
@@ -534,7 +537,7 @@ def _overflow_pass(cfg: SimConfig, key_s, xs, ys, zs, ms, hs,
 
 
 def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
-                   axis_name: str | None = None):
+                   axis_name: str | None = None, active_rows=None):
     """Direct complementary pair force within r_cut, via gravity-sized
     sorted windows.  `p` may be in any order; output matches its order.
 
@@ -550,9 +553,22 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
     rows — work split, not data locality).  The per-device partial results
     are scattered back to p's order and psum-merged, then sliced to the
     caller's rows.
+
+    `active_rows` ([N] bool in p's order; block timesteps, single-chip
+    Pallas path only): the mask rides the gravity sort as an extra operand
+    and gates the pair kernel to row blocks containing an active particle
+    (pallas_grav_short_sums active=); inactive rows return acc == 0 (their
+    blocks' sums are undefined and zeroed here through the mask).  The
+    overflow fallback pass still covers ALL groups' residuals (it is a
+    fixed small worklist); inactive rows' contributions are zeroed with
+    the same mask.
     """
     r_cut = cfg.effective_rcut_rs() * r_s
     dtype = p.pos.dtype
+    if active_rows is not None and (axis_name is not None
+                                    or not cfg.use_pallas):
+        raise ValueError("pm_short_range active_rows gating is implemented "
+                         "for the single-chip Pallas path")
 
     cap = _pad_to(p.capacity, max(cfg.sorted_block, LANES))
     B = cfg.window_group
@@ -577,8 +593,11 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
                 pad(jnp.where(p.alive, p.mass, 0.0), 0.0),
                 pad(p.h, 1.0),
                 pad(jnp.arange(p.capacity, dtype=jnp.int32), -1)]
-    key_s, xs, ys, zs, ms, hs, src = jax.lax.sort(
+    if active_rows is not None:
+        operands.append(pad(active_rows.astype(jnp.int32), 0))
+    key_s, xs, ys, zs, ms, hs, src, *act_tail = jax.lax.sort(
         operands, num_keys=1, is_stable=False)
+    act_s = act_tail[0] > 0 if active_rows is not None else None
 
     # Group stencil windows (same machinery as ops.sorted_grid).
     kmin = key_s.reshape(Gn, B)[:, 0]
@@ -663,9 +682,16 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
             gvecs_l = tuple(
                 jax.lax.dynamic_slice_in_dim(g, off_g // B, nloc // B)
                 for g in gvecs)
+        gate = None
+        if act_s is not None:
+            blk_act = act_s.reshape(cap // cfg.sorted_block,
+                                    cfg.sorted_block).any(axis=1)
+            work = jnp.argsort(~blk_act, stable=True).astype(jnp.int32)
+            n_work = jnp.sum(blk_act).astype(jnp.int32).reshape(1)
+            gate = (work, n_work)
         axf, ayf, azf = pallas_grav_short_sums(
             packed_rows, packed, prog_l, gvecs_l, cfg,
-            interpret=cfg.pallas_interpret)
+            interpret=cfg.pallas_interpret, active=gate)
         coverage = covered
     else:
         Gl = nloc // B
@@ -724,6 +750,14 @@ def pm_short_range(p: Particles, cfg: SimConfig, r_s, rows=None,
         # counter as replicated (integrate._coverage_stats).
         n_over = (jax.lax.psum(n_resid, axis_name)
                   if axis_name is not None else n_resid)
+
+    if act_s is not None:
+        # gated kernel: inactive blocks' sums are undefined — zero them so
+        # the scatter hands back exactly 0 for inactive rows (the caller
+        # merges its stale short-range force through the same mask)
+        axf = jnp.where(act_s, axf, 0.0)
+        ayf = jnp.where(act_s, ayf, 0.0)
+        azf = jnp.where(act_s, azf, 0.0)
 
     # Un-permute to the caller's order: scatter each sorted row's force to
     # its source slot (dead pad rows carry src == -1, dropped).

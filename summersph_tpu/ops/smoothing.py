@@ -70,7 +70,8 @@ def _newton(h, rho, omega, m, eta):
 
 def update_smoothing(p: Particles, cfg: SimConfig,
                      cols: Particles | None = None, grid=None,
-                     axis_name: str | None = None, key_rows=None):
+                     axis_name: str | None = None, key_rows=None,
+                     active=None, act_mask=None):
     """Newton-iterate h on `p`.
 
     `grid` is the step's sorted-window structure (ops.sorted_grid) for the
@@ -88,7 +89,8 @@ def update_smoothing(p: Particles, cfg: SimConfig,
     """
     if grid is not None and cfg.neighbor_mode == "sorted":
         if cols is None:
-            return _update_smoothing_shared(p, cfg, grid)
+            return _update_smoothing_shared(p, cfg, grid, active=active,
+                                            act_mask=act_mask)
         second = (key_rows if key_rows is not None
                   else jax.lax.axis_index(axis_name) * p.capacity)
         return _update_smoothing_shared(p, cfg, grid, cols=cols,
@@ -112,12 +114,15 @@ def update_smoothing(p: Particles, cfg: SimConfig,
 
 
 def _newton_scan(p: Particles, cfg: SimConfig, dens, h_cap,
-                 resum_first: bool):
+                 resum_first: bool, act_mask=None):
     """Shared fixed-count masked-convergence Newton scan.
 
     Every iteration: (re-sum rho/Omega unless first && !resum_first), Newton
     update, clamp, convergence mask.  Convergence is judged on the
     *unclamped* step so a particle pinned at the cap keeps tracking the cap.
+    `act_mask` restricts the iteration to the block-timestep substep's
+    active rows (blockstep.py) — inactive rows' h (and everything derived)
+    is untouched.
     """
     def body(carry, resum):
         q, active, _ = carry
@@ -131,13 +136,15 @@ def _newton_scan(p: Particles, cfg: SimConfig, dens, h_cap,
                 jnp.sum(still, dtype=jnp.int32)), None
 
     resums = jnp.arange(cfg.h_iter_max) >= (1 if not resum_first else 0)
+    start = p.alive if act_mask is None else (p.alive & act_mask)
     (p_out, _, n_open), _ = jax.lax.scan(
-        body, (p, p.alive, jnp.zeros((), jnp.int32)), resums)
+        body, (p, start, jnp.zeros((), jnp.int32)), resums)
     return p_out, n_open.astype(jnp.int32)
 
 
 def _update_smoothing_shared(p: Particles, cfg: SimConfig, grid,
-                             cols: Particles | None = None, offset=None):
+                             cols: Particles | None = None, offset=None,
+                             active=None, act_mask=None):
     """Fast path: reuse the step's sorted grid AND its rho/omega.
 
     No sort, and the first Newton update consumes the force evaluation's
@@ -146,6 +153,12 @@ def _update_smoothing_shared(p: Particles, cfg: SimConfig, grid,
     the full sorted set `cols` (sharded runs); the iteration only changes
     the rows' h, and rho_i depends on h_i alone (gather formulation), so
     the replicated columns stay valid throughout.
+
+    Block-timestep gating (`active`=(worklist, count) + `act_mask`,
+    blockstep.py; single-chip only): the re-summations skip inactive row
+    blocks and the Newton updates freeze inactive rows' h.  The returned
+    rho/omega are only meaningful on active rows — blockstep takes just h
+    and restores its own (stale-consistent) density fields.
     """
     from .sorted_grid import sorted_density
     vcfg = cfg.with_(fixed_h=None)
@@ -156,7 +169,8 @@ def _update_smoothing_shared(p: Particles, cfg: SimConfig, grid,
         def dens(q):
             if cols is None:
                 return pallas_density(q, vcfg, grid,
-                                      interpret=cfg.pallas_interpret)
+                                      interpret=cfg.pallas_interpret,
+                                      active=active, act_mask=act_mask)
             return pallas_density(cols, vcfg, grid,
                                   interpret=cfg.pallas_interpret,
                                   rows=(q, offset))
@@ -167,7 +181,8 @@ def _update_smoothing_shared(p: Particles, cfg: SimConfig, grid,
             return sorted_density(cols, vcfg, grid, rows=(q, offset))
 
     h_cap = jnp.minimum(cfg.max_length, grid.cell_size / 2.0)
-    return _newton_scan(p, cfg, dens, h_cap, resum_first=False)
+    return _newton_scan(p, cfg, dens, h_cap, resum_first=False,
+                        act_mask=act_mask)
 
 
 def _update_smoothing_sorted(p: Particles, cfg: SimConfig):

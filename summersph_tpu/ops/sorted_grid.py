@@ -130,11 +130,13 @@ def window_ranks(key_s, lo, hi):
 
 
 def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
-                   cell_size_override=None) -> Tuple[Particles, SortedGrid]:
+                   cell_size_override=None, carry_derived: bool = False,
+                   extra=None) -> Tuple[Particles, SortedGrid]:
     """Sort the particle pytree by cell key and precompute stencil windows.
 
     Returns (sorted particles — possibly padded with dead slots to a
-    multiple of sorted_block*128, grid).  `h_pad` inflates the cell size
+    multiple of sorted_block*128, grid) — plus the sorted `extra` array as a
+    third element when `extra` is given.  `h_pad` inflates the cell size
     (headroom for the variable-h Newton iteration, ops.smoothing);
     `cell_size_override` replaces the 2*h_max kernel-support sizing entirely
     (the PM short-range pass sorts by r_cut-sized cells,
@@ -142,7 +144,14 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
 
     Only the pair-pass *inputs* survive the sort (see _SORT_FIELDS); the
     derived fields (rho, P, cs, omega, acc, du, dalpha) come back zeroed and
-    must be recomputed by the caller — force_eval always does.
+    must be recomputed by the caller — force_eval always does.  EXCEPT with
+    `carry_derived=True` (the block-timestep substep sort, blockstep.py):
+    inactive rows keep serving their last evaluation's rho/P/cs/omega to
+    their active neighbours and their carried acc/du/dalpha rates to their
+    own eventual kicks, so ALL derived fields ride the sort as extra
+    operands (~10 more; multi-operand lax.sort cost scales with operand
+    count — measured +40% from 12 to 22 operands at N=1e6).  `extra` is an
+    optional [N] int32 array sorted alongside (the per-particle rung).
     """
     cap = p.capacity
     B = cfg.sorted_block
@@ -160,6 +169,8 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
             base = base.replace(acc_ext=jnp.zeros((padded, 3), p.pos.dtype))
         p = jax.tree_util.tree_map(
             lambda full, part: full.at[:cap].set(part), base, p)
+        if extra is not None:
+            extra = jnp.zeros((padded,), extra.dtype).at[:cap].set(extra)
         cap = padded
 
     inf = jnp.asarray(jnp.inf, p.pos.dtype)
@@ -198,6 +209,8 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
     # particles carry key < SENTINEL_KEY by construction, dead carry exactly
     # SENTINEL_KEY, so alive == (key != SENTINEL_KEY) after the sort).
     sort_fields = _SORT_FIELDS + (("u_c",) if p.u_c is not None else ())
+    if carry_derived:
+        sort_fields = sort_fields + _ZERO_FIELDS + ("omega",)
     operands = [key]
     operands += [p.pos[:, k] for k in range(3)]
     operands += [p.vel[:, k] for k in range(3)]
@@ -205,6 +218,11 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
     operands += [p.pid]
     if p.acc_ext is not None:  # held PM force rides the sort (cfg.pm_every)
         operands += [p.acc_ext[:, k] for k in range(3)]
+    n_tail = len(operands)
+    if carry_derived:
+        operands += [p.acc[:, k] for k in range(3)]
+    if extra is not None:
+        operands += [extra]
     out = jax.lax.sort(operands, num_keys=1, is_stable=False)
     key_s = out[0]
     pos = jnp.stack(out[1:4], axis=-1)
@@ -214,10 +232,17 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
     acc_ext = (jnp.stack(out[8 + len(sort_fields):11 + len(sort_fields)],
                          axis=-1) if p.acc_ext is not None else None)
     zero = jnp.zeros_like(key_s, p.pos.dtype)
-    p_s = p.replace(pos=pos, vel=vel, acc=jnp.zeros_like(pos),
-                    alive=key_s != SENTINEL_KEY, pid=pid,
-                    omega=jnp.ones_like(zero), acc_ext=acc_ext,
-                    **rest, **{f: zero for f in _ZERO_FIELDS})
+    if carry_derived:
+        acc_s = jnp.stack(out[n_tail:n_tail + 3], axis=-1)
+        p_s = p.replace(pos=pos, vel=vel, acc=acc_s,
+                        alive=key_s != SENTINEL_KEY, pid=pid,
+                        acc_ext=acc_ext, **rest)
+    else:
+        p_s = p.replace(pos=pos, vel=vel, acc=jnp.zeros_like(pos),
+                        alive=key_s != SENTINEL_KEY, pid=pid,
+                        omega=jnp.ones_like(zero), acc_ext=acc_ext,
+                        **rest, **{f: zero for f in _ZERO_FIELDS})
+    extra_s = out[-1] if extra is not None else None
 
     # Group stencil windows.
     G = cap // wg
@@ -242,6 +267,8 @@ def sort_particles(p: Particles, cfg: SimConfig, h_pad: float = 1.0,
         key=key_s, starts=starts, ends=ends, origin=origin,
         cell_size=cell_size, n_window_overflow=n_over, n_clamped=n_clamped,
     )
+    if extra is not None:
+        return p_s, grid, extra_s
     return p_s, grid
 
 

@@ -57,14 +57,17 @@ def dt_candidates(p: Particles, cfg: SimConfig):
 
 
 def next_timestep(p: Particles, dt, cfg: SimConfig,
-                  axis_name: str | None = None):
+                  axis_name: str | None = None, cand_scale: float = 1.0):
+    """`cand_scale` relaxes the candidate bound (block timesteps: the BASE
+    step may exceed the tightest particle's candidate by 2^(dt_bins-1)
+    because that particle steps on a deeper rung, blockstep.py)."""
     cand = dt_candidates(p, cfg) / cfg.timestep_scale
     cand_min = jnp.min(cand)
     if axis_name is not None:
         # Global timestep across device shards (SURVEY.md §5: psum/pmin for
         # global reductions like dt).
         cand_min = jax.lax.pmin(cand_min, axis_name)
-    dt_cand = cand_min * cfg.timestep_scale
+    dt_cand = cand_min * cfg.timestep_scale * cand_scale
 
     grown = jnp.where(
         (dt_cand > 2.0 * dt) & (cfg.dt_grow * dt < cfg.dt_max),
