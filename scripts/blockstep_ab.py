@@ -58,7 +58,10 @@ def main():
     state_g = prime(state, cfg)
     jax.block_until_ready(state_g.particles.pos)
     mark("global: primed")
-    out = run_steps(state_g, cfg, 2)           # warm the segment compile
+    # warm with the SAME n_steps (n_steps is a static arg — a different
+    # count is a fresh scan compile; 16 matches config5_run's segments so
+    # the disk compile cache already carries it)
+    out = run_steps(state_g, cfg, args.global_steps)
     jax.block_until_ready(out.particles.pos)
     mark("global: warm")
     tw = time.time()
