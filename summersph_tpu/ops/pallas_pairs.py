@@ -363,7 +363,7 @@ def _gate_plan(refs, gated: bool):
 
 
 def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
-                    exact: bool, gated: bool):
+                    exact: bool, gated: bool, fixed_h: bool):
     (starts_ref, grefs, blk, blk_next, first, issue0, issue_next,
      run) = _gate_plan(refs, gated)
     (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
@@ -389,14 +389,17 @@ def _density_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
     if run is not None:
         pl.when(run)(lambda: _density_body(
             args, blk, slot, refs, decode, window=window,
-            window_big=window_big, b=b, s_sub=s_sub, exact=exact))
+            window_big=window_big, b=b, s_sub=s_sub, exact=exact,
+            fixed_h=fixed_h))
     else:
         _density_body(args, blk, slot, refs, decode, window=window,
-                      window_big=window_big, b=b, s_sub=s_sub, exact=exact)
+                      window_big=window_big, b=b, s_sub=s_sub, exact=exact,
+                      fixed_h=fixed_h)
 
 
 def _density_body(args, blk, slot, refs, decode, *, window: int,
-                  window_big: int, b: int, s_sub: int, exact: bool):
+                  window_big: int, b: int, s_sub: int, exact: bool,
+                  fixed_h: bool):
     (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
      wsems, osem) = refs[len(refs) - 9:]
     _wait_window_dmas(*args, blk, slot, window_big=window_big, b=b, nf=DF)
@@ -441,13 +444,18 @@ def _density_body(args, blk, slot, refs, decode, *, window: int,
         r = r2 * jax.lax.rsqrt(jnp.maximum(r2, 1.0e-12))
         q = r * inv_hi[:, None]
         w = w_shape(q)
-        # dW/dh = -(3 W + r dW/dr)/h; dW/dr = dw_shape/(pi h^4)
-        dwdh_shape = -(3.0 * w + q * dw_shape(q))
         # self excluded here, added analytically in finalize_density
         # (pairs.density_sums explains why: windows may truncate, the
         # self term must survive regardless)
         m = jnp.where(mask & (r2 > 0.0), mw[None, :], 0.0)
         rho = jnp.sum(m * w, axis=1) * inv_pi_h3
+        if fixed_h:
+            # Omega == 1 with fixed h (no grad-h correction,
+            # pairs.py:23): skip the dW/dh sum — ~40% of this tile's
+            # VPU ops (dw_shape + the second masked reduction).
+            return rho, None
+        # dW/dh = -(3 W + r dW/dr)/h; dW/dr = dw_shape/(pi h^4)
+        dwdh_shape = -(3.0 * w + q * dw_shape(q))
         om = jnp.sum(m * dwdh_shape, axis=1) * inv_pi_h3 * inv_hi
         return rho, om
 
@@ -462,7 +470,8 @@ def _density_body(args, blk, slot, refs, decode, *, window: int,
             base, sh, _, _ = decode(blk * s_sub + s, o)
             crho, com = tile(fields, o, pl.multiple_of(base, 128), sh)
             rho = rho + crho
-            om = om + com
+            if com is not None:
+                om = om + com
         rho_subs.append(rho)
         om_subs.append(om)
 
@@ -489,7 +498,8 @@ def _density_body(args, blk, slot, refs, decode, *, window: int,
                                      pl.multiple_of(base_k, 128), sh_k,
                                      lane_lo=lo_k)
                     out_vmem[0, _sl] = out_vmem[0, _sl] + crho
-                    out_vmem[1, _sl] = out_vmem[1, _sl] + com
+                    if com is not None:
+                        out_vmem[1, _sl] = out_vmem[1, _sl] + com
 
     ocopy = pltpu.make_async_copy(
         out_vmem, out_hbm.at[:, pl.ds(pl.multiple_of(blk * b, 128), b)],
@@ -581,7 +591,8 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
     out = pl.pallas_call(
         functools.partial(_density_kernel, window=W, window_big=WB, b=B,
                           s_sub=S, exact=cfg.pallas_exact_windows,
-                          gated=active is not None),
+                          gated=active is not None,
+                          fixed_h=cfg.fixed_h is not None),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), packed_cols.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -592,7 +603,7 @@ def pallas_density_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
 
 def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
                   av_eps: float, beta_factor: float, exact: bool,
-                  fuse_grav: bool, gated: bool):
+                  fuse_grav: bool, gated: bool, fixed_h: bool):
     """SPH pressure+AV pair force; with fuse_grav also the short-range
     (TreePM complement) gravity sums over the SAME windows and pair
     geometry — valid when r_cut <= the SPH cell size, so the +-1-cell
@@ -623,7 +634,7 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
 
     kw = dict(window=window, window_big=window_big, b=b, s_sub=s_sub,
               av_eps=av_eps, beta_factor=beta_factor, exact=exact,
-              fuse_grav=fuse_grav)
+              fuse_grav=fuse_grav, fixed_h=fixed_h)
     if run is not None:
         pl.when(run)(lambda: _force_body(args, blk, slot, refs, decode,
                                          **kw))
@@ -633,7 +644,8 @@ def _force_kernel(*refs, window: int, window_big: int, b: int, s_sub: int,
 
 def _force_body(args, blk, slot, refs, decode, *, window: int,
                 window_big: int, b: int, s_sub: int, av_eps: float,
-                beta_factor: float, exact: bool, fuse_grav: bool):
+                beta_factor: float, exact: bool, fuse_grav: bool,
+                fixed_h: bool):
     (rows_hbm, cols_hbm, out_hbm, rows_scr, win_scr, out_vmem, rsems,
      wsems, osem) = refs[len(refs) - 9:]
     _wait_window_dmas(*args, blk, slot, window_big=window_big, b=b, nf=FF)
@@ -674,7 +686,7 @@ def _force_body(args, blk, slot, refs, decode, *, window: int,
         col = _col_reader(win_scr, slot, o, base, sh, window)
 
         xw, yw, zw = col(_IX), col(_IY), col(_IZ)
-        mw, hw = col(_IM), col(_IH)
+        mw = col(_IM)
         vxw, vyw, vzw = col(_IVX), col(_IVY), col(_IVZ)
         pw, rhow, omw = col(_IP), col(_IRHO), col(_IOM)
         csw, alw = col(_ICS), col(_IAL)
@@ -684,8 +696,10 @@ def _force_body(args, blk, slot, refs, decode, *, window: int,
         # ([wg, W]) divisions; maximum-guards replace select chains —
         # masked pairs carry m = 0, and every guarded quantity stays
         # finite, so 0 * huge = 0 (never 0 * inf = NaN)
-        inv_hw = 1.0 / hw
-        inv_pi_hw4 = ((1.0 / PI) * inv_hw * inv_hw) * (inv_hw * inv_hw)
+        if not fixed_h:
+            hw = col(_IH)
+            inv_hw = 1.0 / hw
+            inv_pi_hw4 = ((1.0 / PI) * inv_hw * inv_hw) * (inv_hw * inv_hw)
         pterm_j = (pw / jnp.maximum(omw * rhow * rhow, 1.0e-30))[None, :]
 
         mask = ((kw[None, :] >= ki[:, None] + (PLANE_OFFSETS[o] - 1))
@@ -704,8 +718,15 @@ def _force_body(args, blk, slot, refs, decode, *, window: int,
         r = r2 * inv_r
 
         dw_i = dw_shape(r * inv_hi[:, None]) * inv_pi_hi4[:, None]
-        dw_j = dw_shape(r * inv_hw[None, :]) * inv_pi_hw4[None, :]
-        dwbar = 0.5 * (dw_i + dw_j)
+        if fixed_h:
+            # h_i == h_j everywhere: the j-side gradient and the
+            # symmetrised mean collapse onto dw_i — one dw_shape eval
+            # per pair instead of two (~12% of this tile's VPU ops).
+            dw_j = dw_i
+            dwbar = dw_i
+        else:
+            dw_j = dw_shape(r * inv_hw[None, :]) * inv_pi_hw4[None, :]
+            dwbar = 0.5 * (dw_i + dw_j)
 
         vx = vxi[:, None] - vxw[None, :]
         vy = vyi[:, None] - vyw[None, :]
@@ -713,7 +734,8 @@ def _force_body(args, blk, slot, refs, decode, *, window: int,
         vdotr = vx * dxx + vy * dxy + vz * dxz
         vdotr_neg = jnp.minimum(vdotr, 0.0)
 
-        hbar = 0.5 * (hi[:, None] + hw[None, :])
+        hbar = (hi[:, None] if fixed_h
+                else 0.5 * (hi[:, None] + hw[None, :]))
         mu = hbar * vdotr_neg / (r2 + av_eps * hbar * hbar)
         cbar = 0.5 * (csi[:, None] + csw[None, :])
         abar = 0.5 * (ali[:, None] + alw[None, :])
@@ -725,7 +747,10 @@ def _force_body(args, blk, slot, refs, decode, *, window: int,
         # dw_shape(0) == 0 kills the pressure terms and vdotr == 0
         # kills the viscous/heating terms
         m = jnp.where(mask, mw[None, :], 0.0)
-        scal = pterm_i[:, None] * dw_i + pterm_j * dw_j + visc * dwbar
+        if fixed_h:  # common dw factor (dw_i == dw_j == dwbar)
+            scal = (pterm_i[:, None] + pterm_j + visc) * dw_i
+        else:
+            scal = pterm_i[:, None] * dw_i + pterm_j * dw_j + visc * dwbar
         coef = -m * scal * inv_r
         vdotgradw = vdotr * inv_r * dwbar
         out = [jnp.sum(coef * dxx, axis=1),
@@ -839,7 +864,8 @@ def pallas_force_sums(p: Particles, cfg: SimConfig, grid: SortedGrid,
                           beta_factor=cfg.beta_factor,
                           exact=cfg.pallas_exact_windows,
                           fuse_grav=grav_split is not None,
-                          gated=active is not None),
+                          gated=active is not None,
+                          fixed_h=cfg.fixed_h is not None),
         out_shape=jax.ShapeDtypeStruct((8, n_rows), packed_cols.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
