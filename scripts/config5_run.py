@@ -152,6 +152,10 @@ def main():
                     help="override grav_overflow_items on resume (64-mult)")
     ap.add_argument("--sph-fetch", type=int, default=0,
                     help="override pallas_fetch_window on resume (128-mult)")
+    ap.add_argument("--dt-bins", type=int, default=0,
+                    help="override cfg.dt_bins on resume (block timesteps "
+                         "for the dt-collapsed dense phase; must win its "
+                         "A/B on this state first — scripts/blockstep_ab)")
     args = ap.parse_args()
 
     os.makedirs(OUT, exist_ok=True)
@@ -174,6 +178,8 @@ def main():
             over["grav_overflow_items"] = args.overflow_items
         if args.sph_fetch:
             over["pallas_fetch_window"] = args.sph_fetch
+        if args.dt_bins:
+            over["dt_bins"] = args.dt_bins
         if over:
             cfg = cfg.with_(**over)
         mark(f"resumed t={float(state.t):.4f}"

@@ -128,10 +128,12 @@ def _h_vs_r(state):
     return r, np.asarray(p.h)[alive]
 
 
-def run_config(name, smoke, seg_steps=64, max_wall=1800.0):
+def run_config(name, smoke, seg_steps=64, max_wall=1800.0, t_end=0.0):
     out = os.path.join(OUT, name)
     os.makedirs(out, exist_ok=True)
     state, cfg = BUILDERS[name](smoke)
+    if t_end:
+        cfg = cfg.with_(end_time=t_end)
     state = prime(state, cfg)
 
     d0 = measure(state)
@@ -311,13 +313,16 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--seg-steps", type=int, default=64)
     ap.add_argument("--max-wall", type=float, default=1800.0)
+    ap.add_argument("--t-end", type=float, default=0.0,
+                    help="override the builder's end_time (VERDICT r4 "
+                         "item 7: deepen varh to >= 100 yr)")
     args = ap.parse_args()
 
     names = sorted(BUILDERS) if args.config == "all" else [args.config]
     for name in names:
         try:
             run_config(name, args.smoke, seg_steps=args.seg_steps,
-                       max_wall=args.max_wall)
+                       max_wall=args.max_wall, t_end=args.t_end)
         except SimulationDiverged as e:
             print(f"[{name}] ABORT: {e}", flush=True)
             sys.exit(2)
