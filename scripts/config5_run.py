@@ -152,6 +152,14 @@ def main():
                     help="override grav_overflow_items on resume (64-mult)")
     ap.add_argument("--sph-fetch", type=int, default=0,
                     help="override pallas_fetch_window on resume (128-mult)")
+    # Phase-1 stop conditions (scripts/c5_phase1.sh): hand off to the
+    # block-timestep A/B + --dt-bins resume once the global dt collapses
+    # into the condensed-core regime instead of burning the wall budget
+    # at ~2 s/step x dt=2e-4 (the r4 ledger's t=9.5..9.8 tail).
+    ap.add_argument("--stop-dt", type=float, default=0.0,
+                    help="stop once dt < this (after t > 1)")
+    ap.add_argument("--stop-t", type=float, default=0.0,
+                    help="stop once t >= this")
     ap.add_argument("--dt-bins", type=int, default=0,
                     help="override cfg.dt_bins on resume (block timesteps "
                          "for the dt-collapsed dense phase; must win its "
@@ -238,6 +246,13 @@ def main():
             seg_idx += 1
             if seg_idx % args.ckpt_every == 0:
                 save_npz(ckpt, state, cfg)
+            t_now, dt_now = float(state.t), float(state.dt)
+            if ((args.stop_t and t_now >= args.stop_t)
+                    or (args.stop_dt and t_now > 1.0
+                        and dt_now < args.stop_dt)):
+                print(f"stop condition hit (t={t_now:.4f} dt={dt_now:.2e})",
+                      flush=True)
+                break
             try:
                 # Abort-and-keep-the-evidence on NaN / total particle death
                 # (VERDICT r2: 55 segments of dead state were logged
