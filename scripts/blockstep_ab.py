@@ -38,7 +38,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "results", "collapse1m_r4", "checkpoint.npz"))
+        "docs", "results", "collapse1m", "checkpoint.npz"))
     ap.add_argument("--bins", type=int, default=4)
     ap.add_argument("--base-steps", type=int, default=2)
     ap.add_argument("--global-steps", type=int, default=16)
@@ -90,7 +90,10 @@ def main():
     mark(f"binned: base dt {base:.3e} (global runs {float(state.dt):.3e}); "
          f"rung occupancy {hist.tolist()}")
     jax.block_until_ready(state_b.particles.pos)
-    out = run_steps(state_b, cfg_b, 1)         # compile (the long pole)
+    # warm with the SAME scan length as the measurement (n_steps is a
+    # static arg — a different count is a second full compile of the
+    # 8-substep body; scripts/warm_binned.py pre-caches this one)
+    out = run_steps(state_b, cfg_b, args.base_steps)
     jax.block_until_ready(out.particles.pos)
     mark("binned: warm")
     tw = time.time()

@@ -90,13 +90,23 @@ def build_varh(smoke):
     # but the rim tail reaches max_length=20, and h_max-sized cells then
     # hold ~500 particles — far beyond any static window (the first varh
     # evidence attempt dropped ~2e6 candidates/step and blew up by t=2.4).
+    # Window sizing: the round-4 artifact's knobs (fetch=1024, default
+    # gravity windows) tripped the in-step overflow counters from the very
+    # first segment (~5e5 sph + ~1.3e6 grav candidate lanes dropped per
+    # step, observed in the round-5 rerun log) — the disc's dense center
+    # packs far more candidates per stencil cell than 4 slices cover.  Use
+    # the config-5 production plan: deep 10-slice adaptive fetch for the
+    # SPH pairs, and the exact overflow worklist for the short-range
+    # gravity tail (grav_overflow_items, exactness-tested).
     cfg = SimConfig(fixed_h=None, eta=1.2, h_iter_max=3,
                     convergence_criteria=1e-3, max_length=20.0,
                     cell_h_quantile=0.9,
                     gravity="pm", grav_grid=32 if smoke else 128,
                     gamma=1.4, bounding_size=1500.0,
                     end_time=4.0 if smoke else 20.0, dt_init=1e-3,
-                    pallas_fetch_window=1024,
+                    pallas_fetch_window=2560,
+                    grav_pallas_fetch=2560 if smoke else 3456,
+                    grav_overflow_items=0 if smoke else 65536,
                     **_pallas_cfg(smoke))
     state, _ = disc_ic(n=n, r_max=100.0, m_disc=5.0, m_star=5.0, u0=0.25,
                        rotation="keplerian", h0=5.0, sink_radius=3.5,
