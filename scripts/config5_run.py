@@ -190,7 +190,20 @@ def main():
             over["dt_bins"] = args.dt_bins
         if over:
             cfg = cfg.with_(**over)
-        mark(f"resumed t={float(state.t):.4f}"
+        if args.dt_bins and args.dt_bins > 1:
+            # The checkpoint's dt is the GLOBAL controller's (set by the
+            # densest knot).  The binned controller's candidate bound is
+            # relaxed by 2^(B-1) (blockstep: deep rungs substep), so jump
+            # the base dt straight to that bound instead of waiting ~20
+            # base steps of hysteresis growth (same formula as
+            # scripts/blockstep_ab.py).
+            from summersph_tpu.ops.timestep import dt_candidates
+            cand = dt_candidates(state.particles, cfg)
+            base = float(min((1 << (args.dt_bins - 1))
+                             * float(jnp.min(cand)), cfg.dt_max))
+            state = state.replace(dt=jnp.asarray(
+                base, jnp.asarray(state.dt).dtype))
+        mark(f"resumed t={float(state.t):.4f} dt={float(state.dt):.3e}"
              + (f" overrides={over}" if over else ""))
     else:
         state, cfg = build()
