@@ -29,7 +29,16 @@ def read_ledger(path):
         rows = list(csv.DictReader(fh))
     if not rows:
         raise SystemExit(f"{path} is empty")
-    out = {k: np.array([float(r[k]) for r in rows]) for k in rows[0]}
+    # A killed pass can leave rows past its last checkpoint that the
+    # resumed pass then re-runs (same trajectory, duplicate t-spans).
+    # Keep the first occurrence: enforce strictly increasing t.
+    kept, t_max = [], -np.inf
+    for r in rows:
+        t = float(r["t"])
+        if t > t_max:
+            kept.append(r)
+            t_max = t
+    out = {k: np.array([float(r[k]) for r in kept]) for k in kept[0]}
     return out
 
 
