@@ -138,6 +138,23 @@ def summary(led, out_md, ckpt=None):
         "of groups fell past the static windows — all recovered by the "
         "worklist.",
         "",
+        "## Run status",
+        "",
+        f"Fresh exact-gravity run from t=0, stopped at t = {t[-1]:.2f} yr "
+        f"= {t[-1]/T_FF:.2f} t_ff by the round's wall budget (global-dt "
+        "dense phase: the dt floor is set by the condensing core; the "
+        "block-timestep alternative is compile-infeasible on this "
+        "backend — docs/ROUND5.md item 8).  Sink formation begins past "
+        "~1.16 t_ff at this resolution (the r3 run formed its first "
+        "sink at t = 10.24), so this ledger ends pre-fragmentation with "
+        "0 sinks; the collapse-to-sinks capability itself is evidenced "
+        "at docs/results/collapse64k_tpu (N=65536 to 1.33 t_ff on this "
+        "chip: 63 sinks, 75% of the cloud accreted) and "
+        "docs/results/collapse4k_f32 / collapse2k_f64, and "
+        "the r3 full-collapse ledger (126 sinks at 1.22 t_ff, with its "
+        "54%-dropped-pairs caveat) remains in git history "
+        "(commit d17a384).",
+        "",
         "Produced by scripts/config5_run.py (gamma=1.1, see its docstring "
         "for the EOS-choice justification) and scripts/config5_report.py.",
     ]
